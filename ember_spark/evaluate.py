@@ -1,0 +1,61 @@
+"""Evaluation: positive-class pairwise precision / recall / F1.
+
+Reproduces the reference's judge metric (`src/models/matcher.py:14-24`:
+torchmetrics F1/P/R with ignore_index=0, i.e. computed on the
+label-1 "matched" class only) as a single aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pairwise_prf(pred_pairs: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> dict:
+    """P/R/F1 of the positive class over a scored labeled pair table."""
+    row = pred_pairs.select(
+        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col(pred_col) == 0) & (F.col(label_col) == 1)).cast("long")).alias("fn"),
+    ).first()
+    tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn}
+
+
+def cluster_pairwise_prf(
+    entities: DataFrame,
+    labeled_pairs: DataFrame,
+    id_col: str = "id",
+    entity_col: str = "component",
+    left_col: str = "id_l",
+    right_col: str = "id_r",
+    label_col: str = "label",
+) -> dict:
+    """Judge a clustering against labeled pairs: a pair is predicted
+    matched iff both ids landed in the same predicted entity.
+
+    Ids absent from `entities` (singletons the pipeline never paired)
+    count as their own entity — an unmatched prediction.
+    """
+    e_l = entities.select(
+        F.col(id_col).alias(left_col), F.col(entity_col).alias("ent_l")
+    )
+    e_r = entities.select(
+        F.col(id_col).alias(right_col), F.col(entity_col).alias("ent_r")
+    )
+    joined = (
+        labeled_pairs.join(e_l, left_col, "left")
+        .join(e_r, right_col, "left")
+        .withColumn(
+            "prediction",
+            (
+                F.col("ent_l").isNotNull()
+                & F.col("ent_r").isNotNull()
+                & (F.col("ent_l") == F.col("ent_r"))
+            ).cast("int"),
+        )
+    )
+    return pairwise_prf(joined, label_col=label_col)

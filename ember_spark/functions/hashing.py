@@ -1,0 +1,109 @@
+"""Deterministic hashing primitives: MinHash signatures, LSH band keys,
+SimHash, hashing-trick embeddings.
+
+MinHash/banding are pure native expressions built on `xxhash64`
+(seeded by position) — fully codegen'd, no Python, and deterministic
+across runs/executors (SURVEY.md §7.1 step 4). SimHash and the hashing
+embedding need per-bit accumulators that would blow up codegen, so they
+are Arrow-batched pandas UDFs over numpy (documented slow path, used by
+dedup ops only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_signature(tokens: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<long>, length num_hashes) of a token array.
+
+    hash_i(t) = xxhash64(i, t); signature[i] = min over distinct tokens.
+    Empty/null token arrays produce an all-MAX signature — callers must
+    filter empty docs before banding (an all-MAX band would collide
+    every empty doc into one hot block).
+    """
+    init = F.array(*[F.lit(_MAX_LONG).cast("long") for _ in range(num_hashes)])
+    tok_hashes = lambda t: F.array(*[F.xxhash64(F.lit(i), t) for i in range(num_hashes)])  # noqa: E731
+    sig = F.aggregate(
+        F.array_distinct(F.coalesce(tokens, F.array())),
+        init,
+        lambda acc, t: F.zip_with(acc, tok_hashes(t), lambda a, b: F.least(a, b)),
+    )
+    return sig
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Collapse a MinHash signature into `bands` band-hash keys
+    (array<long>); band b hashes signature slots [b*rows, (b+1)*rows).
+    Band identity is baked into the hash seed so different bands never
+    collide with each other after `posexplode`.
+    """
+    keys = [
+        F.xxhash64(F.lit(b), *[sig[b * rows + j] for j in range(rows)])
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def _stable_u64(token: str, seed: int) -> int:
+    h = hashlib.blake2b(token.encode("utf-8"), digest_size=8, salt=struct.pack("<q", seed)).digest()
+    return struct.unpack("<Q", h)[0]
+
+
+def simhash64_py(tokens: list[str] | None) -> int:
+    """Pure-Python/numpy 64-bit SimHash of a token list (test oracle too)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in set(tokens):
+        h = _stable_u64(t, 0)
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    # reinterpret as signed long for Spark LongType
+    return int(np.int64(out))
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(tokens: pd.Series) -> pd.Series:
+    return pd.Series([simhash64_py(list(t) if t is not None else None) for t in tokens], dtype="int64")
+
+
+def hash_embedding_py(tokens: list[str] | None, dim: int = 64) -> list[float]:
+    """Hashing-trick embedding: each token adds ±1 at a hashed index;
+    L2-normalized. Deterministic (blake2b) across processes."""
+    v = np.zeros(dim, dtype=np.float64)
+    if tokens:
+        for t in tokens:
+            h = _stable_u64(t, 1)
+            idx = h % dim
+            sign = 1.0 if (h >> 63) & 1 else -1.0
+            v[idx] += sign
+    n = np.linalg.norm(v)
+    if n > 0:
+        v /= n
+    return [float(x) for x in v]
+
+
+def make_hash_embedding_udf(dim: int = 64):
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _emb(tokens: pd.Series) -> pd.Series:
+        return pd.Series([hash_embedding_py(list(t) if t is not None else None, dim) for t in tokens])
+
+    return _emb
+
+
+hash_embedding_udf = make_hash_embedding_udf(64)

@@ -1,0 +1,108 @@
+"""Pair-similarity functions (reference ops X5, M3/M5 features).
+
+- token_jaccard: native `array_intersect`/`array_union` — identical
+  real-division semantics to the reference's set Jaccard
+  (`build_ali_dataset.py:44-47`), whole-stage-codegen'd.
+- cosine_sim: native `zip_with` + `aggregate` dot product over
+  array<float/double> columns.
+- jaro_winkler: the one genuinely scalar-string metric Spark lacks —
+  Arrow-batched pandas UDF (never row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def token_jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over token arrays (set semantics; 0.0 when both
+    empty — the reference assumes non-empty inputs)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two numeric arrays, all JVM-side.
+
+    dot/norms via `aggregate`; 0.0 for zero-norm inputs.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+# ------------------------------------------------------------- jaro-winkler
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions: matched chars in order
+    t = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler_py(s1: str | None, s2: str | None, prefix_weight: float = 0.1) -> float:
+    """Pure-Python Jaro-Winkler (also the test oracle)."""
+    if s1 is None or s2 is None:
+        return 0.0
+    j = _jaro(s1, s2)
+    if j > 0.7:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a == b:
+                prefix += 1
+            else:
+                break
+        j += prefix * prefix_weight * (1.0 - j)
+    return j
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler over string pair columns.
+
+    Python loops run per Arrow batch (10k rows), not per Spark row —
+    this is the sanctioned slow path per SURVEY.md §2.8 M3.
+    """
+    return pd.Series(
+        [jaro_winkler_py(a, b) for a, b in zip(left.tolist(), right.tolist())],
+        dtype="float64",
+    )

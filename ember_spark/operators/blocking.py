@@ -1,0 +1,160 @@
+"""Blocking: candidate-pair generation via exact keys + MinHash-LSH.
+
+Replaces the reference's blocked cartesian (op J1, per-cluster pandas
+cross-merge `build_ali_dataset.py:80-87`) and its "similar cluster"
+hard-negative join (J2, `:158-172`) with scale-honest equi-joins:
+
+- exact block keys (normalized domain / category / fingerprint),
+- MinHash-LSH band keys over token shingles (J2's near-neighbor
+  semantics without the O(C^2) cluster loop),
+- block-size census (A1) + hot-block capping (skew control BEFORE the
+  join — AQE skew-join stays on only as a backstop),
+- canonical pair order id_l < id_r (op F4) + dedup across keys.
+
+All joins are hash equi-joins on the block key; no crossJoin anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ember_spark.functions.hashing import lsh_band_keys, minhash_signature
+
+#: blocks larger than this emit no pairs (quadratic blowup guard);
+#: at web scale a hot shingle/domain block is almost always boilerplate.
+DEFAULT_BLOCK_CAP = 2000
+
+
+def block_census(keys: DataFrame, key_col: str = "block_key") -> DataFrame:
+    """Block-size census (op A1): rows per block key."""
+    return keys.groupBy(key_col).agg(F.count(F.lit(1)).alias("block_size"))
+
+
+def cap_hot_blocks(
+    keys: DataFrame, key_col: str = "block_key", cap: int = DEFAULT_BLOCK_CAP
+) -> DataFrame:
+    """Drop keys whose block exceeds `cap` rows (census + left-semi on
+    the surviving blocks). Blocks of size 1 produce no pairs and are
+    dropped too, shrinking the self-join input.
+    """
+    ok = (
+        block_census(keys, key_col)
+        .filter((F.col("block_size") >= 2) & (F.col("block_size") <= cap))
+        .select(key_col)
+    )
+    return keys.join(ok, key_col, "left_semi")
+
+
+def _pairs_from_keys(keys: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """Self equi-join on the block key, canonicalized id_l < id_r."""
+    left = keys.select(F.col(key_col), F.col(id_col).alias("id_l"))
+    right = keys.select(F.col(key_col), F.col(id_col).alias("id_r"))
+    return (
+        left.join(right, key_col)
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+    )
+
+
+def exact_key_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_expr,
+    cap: int = DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """Candidate pairs sharing an exact block key (e.g. normalized
+    domain). `key_expr` is a Column producing the key."""
+    keys = df.select(F.col(id_col), key_expr.alias("block_key")).filter(
+        F.col("block_key").isNotNull()
+    )
+    keys = cap_hot_blocks(keys, "block_key", cap)
+    return _pairs_from_keys(keys, id_col, "block_key").dropDuplicates(["id_l", "id_r"])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    cap: int = DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over a token-array column.
+
+    docs -> signature (native xxhash64 min-agg) -> band keys ->
+    posexplode -> census-capped self-join per (band, hash) bucket ->
+    canonical dedup'd (id_l, id_r).
+
+    With bands=16, rows=2: P(collide | s) = 1-(1-s^2)^16 — ≈0.99 at
+    s=0.5, ≈1-1e-7 at s=0.8. Tune per recall target (SURVEY.md §7.3).
+    """
+    assert bands * rows <= num_hashes
+    sig = df.filter(F.size(F.col(tokens_col)) > 0).select(
+        F.col(id_col),
+        minhash_signature(F.col(tokens_col), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band", "band_hash"),
+    ).select(
+        F.col(id_col),
+        # band id is already baked into band_hash's seed; a single long
+        # key keeps the shuffle narrow
+        F.col("band_hash").alias("block_key"),
+    )
+    banded = cap_hot_blocks(banded, "block_key", cap)
+    return _pairs_from_keys(banded, id_col, "block_key").dropDuplicates(["id_l", "id_r"])
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    exact_key_exprs: list | None = None,
+    num_hashes: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    cap: int = DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """Multi-key blocking: union of LSH pairs and exact-key pairs,
+    deduplicated on the canonical (id_l, id_r)."""
+    out = lsh_candidate_pairs(
+        df, id_col, tokens_col, num_hashes=num_hashes, bands=bands, rows=rows, cap=cap
+    )
+    for key_expr in exact_key_exprs or []:
+        out = out.unionByName(exact_key_pairs(df, id_col, key_expr, cap=cap))
+    return out.dropDuplicates(["id_l", "id_r"])
+
+
+def attach_pair_payload(
+    pairs: DataFrame, df: DataFrame, id_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Join each side's payload columns onto canonical pairs with
+    _l/_r suffixes. Two hash joins on the id; Spark broadcasts the
+    corpus side automatically when small.
+    """
+    left = df.select(F.col(id_col).alias("id_l"), *[F.col(c).alias(f"{c}_l") for c in payload_cols])
+    right = df.select(F.col(id_col).alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in payload_cols])
+    return pairs.join(left, "id_l").join(right, "id_r")
+
+
+def salted_repartition(
+    df: DataFrame, key_col: str, row_col: str, partitions: int, salt: int = 8
+) -> DataFrame:
+    """Explicit repartition on (key, salt) — spreads a hot key across
+    `salt` partitions before a wide stage (north_rule skew-key salting).
+    The salt comes from a row-varying column (`row_col`, e.g. the pair
+    id) so rows of one hot key land on `salt` different partitions.
+    Used ahead of the scoring stage so one hot block key cannot pin a
+    single task.
+    """
+    return df.repartition(
+        partitions,
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit("#"),
+            F.pmod(F.xxhash64(F.col(row_col)), F.lit(salt)).cast("string"),
+        ),
+    )

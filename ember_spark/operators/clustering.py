@@ -1,0 +1,105 @@
+"""Transitive clustering: connected components over match edges.
+
+GraphFrames-free alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014) expressed as DataFrame self-joins — O(log^2 n) rounds even
+on pathological chains, each round a groupBy + join. Lineage is
+truncated every iteration with localCheckpoint (SURVEY.md §4 custom-op
+3; the reference has no clustering stage — its ground-truth
+`cluster_id` arrives with the data, `data/ali/README.md:41`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_with_self(edges: DataFrame) -> DataFrame:
+    """m(u) = min(N(u) ∪ {u}) for each src node of `edges`."""
+    return (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", F.col("src")).alias("m"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u)."""
+    bidir = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = _min_with_self(bidir)
+    return (
+        bidir.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, connect all
+    (plus the node itself) to the minimum."""
+    canon = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    m = _min_with_self(canon)
+    nbrs = canon.join(m, "src").select(F.col("dst").alias("node"), F.col("m"))
+    selfs = m.select(F.col("src").alias("node"), F.col("m"))
+    return (
+        nbrs.union(selfs)
+        .filter(F.col("node") != F.col("m"))
+        .select(F.col("node").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-insensitive, overflow-free under ANSI mode
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_l",
+    dst: str = "id_r",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Compute connected components of an undirected edge list.
+
+    Returns DataFrame (id, component) where component is the minimum
+    node id in the component, for every node that appears in an edge
+    (including self-loop-only nodes; callers union in never-paired
+    singletons themselves). Node id column type must be orderable
+    (long or string).
+    """
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = raw.select(F.col("src").alias("id")).union(
+        raw.select(F.col("dst").alias("id"))
+    ).distinct()
+    e = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _checksum(e)
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+
+    # fixpoint edge set is a star forest: src -> root(dst); nodes never
+    # emitted (roots, self-loop-only, isolated-in-input) map to themselves
+    members = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    selfmap = nodes.withColumn("component", F.col("id"))
+    return members.union(selfmap).groupBy("id").agg(F.min("component").alias("component"))

@@ -1,0 +1,163 @@
+"""Pairwise scoring: feature computation + broadcast matcher.
+
+Mirrors the reference's matcher surface (SURVEY.md §2.8): the
+cross-encoder (`src/models/text_matcher.py:35-59`) becomes a
+feature-based classifier per the north_star — token-Jaccard (native,
+op X5), Jaro-Winkler (Arrow pandas UDF), hashing-embedding cosine
+(native over precomputed embedding arrays) — fed to a broadcast
+logistic model whose output reproduces M4's softmax + 0.5 threshold
+(`src/models/matcher.py:34`, `scripts/dm.py:120-121`).
+
+Scoring is a single map stage: no shuffle beyond the explicit salted
+repartition callers apply before it.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ember_spark.functions.similarity import cosine_sim, jaro_winkler_udf, token_jaccard
+
+#: feature column names in model order
+FEATURES = ["f_jaccard", "f_containment", "f_jw", "f_cos", "f_len_ratio"]
+
+
+def pair_features(
+    pairs: DataFrame,
+    text_l: str = "text_l",
+    text_r: str = "text_r",
+    tokens_l: str = "tokens_l",
+    tokens_r: str = "tokens_r",
+    emb_l: str = "emb_l",
+    emb_r: str = "emb_r",
+) -> DataFrame:
+    """Append the matcher's feature columns to a pair table.
+
+    Everything except Jaro-Winkler is JVM-native; JW is one Arrow batch
+    UDF (the only Python on the hot path, per the M3 contract).
+    """
+    len_l = F.length(F.col(text_l)).cast("double")
+    len_r = F.length(F.col(text_r)).cast("double")
+    inter = F.size(F.array_intersect(F.col(tokens_l), F.col(tokens_r))).cast("double")
+    min_sz = F.least(
+        F.size(F.array_distinct(F.col(tokens_l))), F.size(F.array_distinct(F.col(tokens_r)))
+    ).cast("double")
+    return (
+        pairs.withColumn("f_jaccard", token_jaccard(F.col(tokens_l), F.col(tokens_r)))
+        .withColumn(
+            # containment |A∩B|/min(|A|,|B|): robust to one-sided token
+            # dropout, the failure mode plain Jaccard misses
+            "f_containment",
+            F.when(min_sz == 0, F.lit(0.0)).otherwise(inter / min_sz),
+        )
+        .withColumn("f_jw", jaro_winkler_udf(F.col(text_l), F.col(text_r)))
+        .withColumn("f_cos", cosine_sim(F.col(emb_l), F.col(emb_r)))
+        .withColumn(
+            "f_len_ratio",
+            F.when(
+                F.greatest(len_l, len_r) == 0, F.lit(1.0)
+            ).otherwise(F.least(len_l, len_r) / F.greatest(len_l, len_r)),
+        )
+    )
+
+
+class LogisticMatcher:
+    """Tiny logistic-regression matcher over FEATURES.
+
+    fit() runs driver-side on a small labeled pair sample (the
+    reference trains on ≤7k pairs — same scale); predict() is pure
+    native column arithmetic, so the broadcast "model" is just the
+    weight vector folded into the plan (no UDF at inference).
+    """
+
+    def __init__(self, weights: list[float] | None = None, bias: float = 0.0, threshold: float = 0.5):
+        self.weights = list(weights) if weights is not None else None
+        self.bias = float(bias)
+        self.threshold = float(threshold)
+
+    # ------------------------------------------------------------ train
+    def fit(self, X: np.ndarray, y: np.ndarray, lr: float = 0.5, epochs: int = 400, l2: float = 1e-4):
+        """Plain batch gradient descent (numpy, driver-side)."""
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n, d = X.shape
+        w = np.zeros(d)
+        b = 0.0
+        for _ in range(epochs):
+            z = X @ w + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = p - y
+            w -= lr * (X.T @ g / n + l2 * w)
+            b -= lr * float(g.mean())
+        self.weights = [float(v) for v in w]
+        self.bias = float(b)
+        return self
+
+    def fit_pairs(self, labeled: DataFrame, label_col: str = "label", sample_limit: int = 100_000):
+        """Fit from a featurized labeled pair DataFrame (collects at most
+        `sample_limit` rows — training data is benchmark-sized by design)."""
+        rows = (
+            labeled.select(*FEATURES, F.col(label_col).cast("double").alias("y"))
+            .limit(sample_limit)
+            .toPandas()
+        )
+        X, y = rows[FEATURES].to_numpy(), rows["y"].to_numpy()
+        self.fit(X, y)
+        self.calibrate_threshold(X, y)
+        return self
+
+    def calibrate_threshold(self, X: np.ndarray, y: np.ndarray) -> float:
+        """Pick the decision threshold maximizing F1 on the training
+        sample (the reference tunes via val/f1 early-stopping — same
+        spirit, `matcher.py:53-58`)."""
+        z = np.asarray(X, dtype=np.float64) @ np.array(self.weights) + self.bias
+        p = 1.0 / (1.0 + np.exp(-z))
+        best_t, best_f1 = 0.5, -1.0
+        for t in np.unique(np.round(p, 3)):
+            pred = p > t
+            tp = float(((pred == 1) & (y == 1)).sum())
+            fp = float(((pred == 1) & (y == 0)).sum())
+            fn = float(((pred == 0) & (y == 1)).sum())
+            prec = tp / (tp + fp) if tp + fp else 0.0
+            rec = tp / (tp + fn) if tp + fn else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            if f1 > best_f1:
+                best_f1, best_t = f1, float(t)
+        self.threshold = best_t
+        return best_t
+
+    # -------------------------------------------------------- inference
+    def score_col(self):
+        """sigmoid(w . f + b) as a native Column (M4 prob-of-match)."""
+        assert self.weights is not None, "matcher not fitted"
+        z = F.lit(self.bias)
+        for w, name in zip(self.weights, FEATURES):
+            z = z + F.lit(w) * F.col(name)
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    def predict(self, feats: DataFrame) -> DataFrame:
+        """Append `score` (double) and `prediction` (int, 1 = matched)."""
+        return feats.withColumn("score", self.score_col()).withColumn(
+            "prediction", (F.col("score") > F.lit(self.threshold)).cast("int")
+        )
+
+    # ------------------------------------------------------ persistence
+    def to_json(self) -> str:
+        return json.dumps(
+            {"weights": self.weights, "bias": self.bias, "threshold": self.threshold}
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "LogisticMatcher":
+        d = json.loads(s)
+        return cls(d["weights"], d["bias"], d["threshold"])
+
+    def score_py(self, feats: list[float]) -> float:
+        z = self.bias + sum(w * f for w, f in zip(self.weights, feats))
+        return 1.0 / (1.0 + math.exp(-z))

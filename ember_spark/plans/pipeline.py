@@ -1,0 +1,173 @@
+"""End-to-end entity-resolution pipeline (SURVEY.md §7.1 step 3-7).
+
+pages(url, warc_ts, html, text, lang)
+  -> extract (byte-identical text; X1+X3 semantics)
+  -> tokenize (X4; lang-aware)
+  -> block (multi-key: normalized url path + MinHash-LSH; J1/J2)
+  -> score (features X5/JW/cosine -> broadcast logistic matcher; M3/M4)
+  -> cluster (large-star/small-star connected components)
+  -> entities(url, entity_id)
+
+Every stage is DataFrame -> DataFrame; with a `StageManifest` the
+stages materialize + resume idempotently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ember_spark.functions.hashing import make_hash_embedding_udf
+from ember_spark.functions.text import extract_text_from_html
+from ember_spark.functions.tokenize import tokenize_auto
+from ember_spark.operators.blocking import (
+    attach_pair_payload,
+    candidate_pairs,
+    salted_repartition,
+)
+from ember_spark.operators.clustering import connected_components
+from ember_spark.operators.scoring import LogisticMatcher, pair_features
+
+#: default matcher weights over
+#: [f_jaccard, f_containment, f_jw, f_cos, f_len_ratio] — a conservative
+#: prior; `ERPipeline.fit_matcher` retrains on labeled pairs.
+DEFAULT_WEIGHTS = [8.0, 4.0, 2.0, 2.0, 1.0]
+DEFAULT_BIAS = -9.5
+
+
+@dataclass
+class PipelineConfig:
+    num_hashes: int = 32
+    bands: int = 16
+    rows: int = 2
+    block_cap: int = 2000
+    embedding_dim: int = 64
+    use_url_key: bool = True
+    score_partitions: int | None = None  # None -> spark.sql.shuffle.partitions
+    salt: int = 8
+    matcher: LogisticMatcher = field(
+        default_factory=lambda: LogisticMatcher(DEFAULT_WEIGHTS, DEFAULT_BIAS)
+    )
+
+
+def url_path_key(url) -> F.Column:
+    """Normalized-url block key: scheme+query stripped, trailing segment
+    dropped — near-duplicate pages of one item share the path prefix."""
+    no_scheme = F.regexp_replace(url, r"^https?://", "")
+    no_query = F.regexp_replace(no_scheme, r"[?#].*$", "")
+    return F.regexp_replace(no_query, r"/[^/]*$", "")
+
+
+class ERPipeline:
+    def __init__(self, spark: SparkSession, config: PipelineConfig | None = None, manifest=None):
+        self.spark = spark
+        self.cfg = config or PipelineConfig()
+        self.manifest = manifest
+
+    # ------------------------------------------------------------ stages
+    def extract(self, pages: DataFrame) -> DataFrame:
+        """url/text/lang docs; when `text` is absent, extract from html
+        byte-identically (tested vs the python oracle)."""
+        cols = set(pages.columns)
+        text = F.col("text") if "text" in cols else extract_text_from_html(F.col("html"))
+        return pages.select(F.col("url"), text.alias("text"), F.col("lang"))
+
+    def prepare(self, docs: DataFrame) -> DataFrame:
+        """tokens + hashing-trick embedding per doc."""
+        emb = make_hash_embedding_udf(self.cfg.embedding_dim)
+        return docs.select(
+            "url",
+            "text",
+            "lang",
+            tokenize_auto(F.col("text"), F.col("lang")).alias("tokens"),
+        ).withColumn("emb", emb(F.col("tokens")))
+
+    def block(self, prepared: DataFrame) -> DataFrame:
+        keys = [url_path_key(F.col("url"))] if self.cfg.use_url_key else []
+        return candidate_pairs(
+            prepared,
+            id_col="url",
+            tokens_col="tokens",
+            exact_key_exprs=keys,
+            num_hashes=self.cfg.num_hashes,
+            bands=self.cfg.bands,
+            rows=self.cfg.rows,
+            cap=self.cfg.block_cap,
+        )
+
+    def score(self, pairs: DataFrame, prepared: DataFrame) -> DataFrame:
+        parts = self.cfg.score_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        withpay = attach_pair_payload(
+            pairs, prepared, "url", ["text", "tokens", "emb"]
+        )
+        # skew-key salting: spread any hot block's pairs before the
+        # Python-bearing feature stage
+        withpay = salted_repartition(withpay, "id_l", "id_r", parts, self.cfg.salt)
+        feats = pair_features(withpay)
+        return self.cfg.matcher.predict(feats).select(
+            "id_l", "id_r", *[c for c in feats.columns if c.startswith("f_")], "score", "prediction"
+        )
+
+    def cluster(self, scored: DataFrame, prepared: DataFrame) -> DataFrame:
+        edges = scored.filter(F.col("prediction") == 1).select("id_l", "id_r")
+        comp = connected_components(edges, "id_l", "id_r")
+        all_urls = prepared.select(F.col("url").alias("id"))
+        singles = all_urls.join(comp, "id", "left_anti").withColumn(
+            "component", F.col("id")
+        )
+        return (
+            comp.unionByName(singles)
+            .select(F.col("id").alias("url"), F.col("component").alias("entity_id"))
+        )
+
+    # ------------------------------------------------------------- runs
+    def run(self, pages: DataFrame) -> dict[str, DataFrame]:
+        """Full pipeline; returns every stage's DataFrame. With a
+        manifest, each stage checkpoints and resumes idempotently."""
+        cfg_fp = (
+            f"h{self.cfg.num_hashes}b{self.cfg.bands}r{self.cfg.rows}"
+            f"c{self.cfg.block_cap}d{self.cfg.embedding_dim}"
+        )
+
+        def stage(name: str, build):
+            if self.manifest is None:
+                return build()
+            return self.manifest.run_stage(name, cfg_fp, build)
+
+        docs = stage("extract", lambda: self.extract(pages))
+        prepared = stage("prepare", lambda: self.prepare(docs))
+        pairs = stage("block", lambda: self.block(prepared))
+        scored = stage("score", lambda: self.score(pairs, prepared))
+        entities = stage("entities", lambda: self.cluster(scored, prepared))
+        return {
+            "docs": docs,
+            "prepared": prepared,
+            "pairs": pairs,
+            "scored": scored,
+            "entities": entities,
+        }
+
+    def fit_matcher(self, labeled_pairs: DataFrame) -> LogisticMatcher:
+        """Train the broadcast matcher on an ember-shaped labeled pair
+        table (url_left/right, text_left/right, label)."""
+        emb = make_hash_embedding_udf(self.cfg.embedding_dim)
+        sides = labeled_pairs.select(
+            F.col("text_left").alias("text_l"),
+            F.col("text_right").alias("text_r"),
+            F.col("lang_left").alias("lang_l"),
+            F.col("lang_right").alias("lang_r"),
+            F.col("label"),
+        )
+        sides = (
+            sides.withColumn("tokens_l", tokenize_auto(F.col("text_l"), F.col("lang_l")))
+            .withColumn("tokens_r", tokenize_auto(F.col("text_r"), F.col("lang_r")))
+            .withColumn("emb_l", emb(F.col("tokens_l")))
+            .withColumn("emb_r", emb(F.col("tokens_r")))
+        )
+        feats = pair_features(sides)
+        self.cfg.matcher.fit_pairs(feats)
+        return self.cfg.matcher

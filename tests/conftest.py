@@ -1,0 +1,9 @@
+import pytest
+
+from ember_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("ember_spark_tests", cores=8, shuffle_partitions=8)
+    yield s

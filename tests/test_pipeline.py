@@ -1,0 +1,89 @@
+"""End-to-end pipeline tests: planted-cluster recovery (pairwise F1 ≥
+0.99, the BASELINE.json judge metric) and matcher F1 on the
+ember-shaped labeled pair benchmark, train + held-out seed (the
+reference evaluates at seeds 142/123, `run_ali.py:37`)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ember_spark.evaluate import cluster_pairwise_prf, pairwise_prf
+from ember_spark.fixtures import generate_labeled_pairs, generate_pages, split_labels
+from ember_spark.functions.hashing import make_hash_embedding_udf
+from ember_spark.functions.tokenize import tokenize_auto
+from ember_spark.operators.scoring import pair_features
+from ember_spark.plans.pipeline import ERPipeline
+
+
+def _featurize(lp):
+    emb = make_hash_embedding_udf(64)
+    sides = (
+        lp.select(
+            F.col("text_left").alias("text_l"),
+            F.col("text_right").alias("text_r"),
+            F.col("lang_left").alias("lang_l"),
+            F.col("lang_right").alias("lang_r"),
+            "label",
+        )
+        .withColumn("tokens_l", tokenize_auto(F.col("text_l"), F.col("lang_l")))
+        .withColumn("tokens_r", tokenize_auto(F.col("text_r"), F.col("lang_r")))
+        .withColumn("emb_l", emb(F.col("tokens_l")))
+        .withColumn("emb_r", emb(F.col("tokens_r")))
+    )
+    return pair_features(sides)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pw = generate_pages(spark, 300, seed=142).cache()
+    pw.count()
+    return pw
+
+
+def test_pipeline_recovers_planted_clusters(spark, corpus):
+    pages, labels = split_labels(corpus)
+    pipe = ERPipeline(spark)
+    out = pipe.run(pages.drop("text"))  # exercise the html-extraction path
+    ents = out["entities"]
+    truth = (
+        labels.alias("a")
+        .join(labels.alias("b"), F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(
+            F.col("a.url").alias("id_l"),
+            F.col("b.url").alias("id_r"),
+            F.lit(1).alias("label"),
+        )
+    )
+    m = cluster_pairwise_prf(
+        ents.withColumnRenamed("url", "id").withColumnRenamed("entity_id", "component"),
+        truth,
+        left_col="id_l",
+        right_col="id_r",
+    )
+    assert m["precision"] >= 0.99, m
+    assert m["recall"] >= 0.99, m
+    assert m["f1"] >= 0.99, m
+
+
+def test_matcher_f1_on_labeled_pairs(spark):
+    pipe = ERPipeline(spark)
+    train = generate_labeled_pairs(spark, 300, seed=142).cache()
+    matcher = pipe.fit_matcher(train)
+    m_train = pairwise_prf(matcher.predict(_featurize(train)))
+    assert m_train["f1"] >= 0.99, m_train
+    held_out = generate_labeled_pairs(spark, 200, seed=123)
+    m_test = pairwise_prf(matcher.predict(_featurize(held_out)))
+    assert m_test["f1"] >= 0.99, m_test
+
+
+def test_pipeline_no_rowwise_python_udf(spark, corpus):
+    """Audit (SURVEY.md §7.3): the physical plan must contain no
+    row-at-a-time Python (BatchEvalPython); ArrowEvalPython is the
+    sanctioned vectorized path."""
+    pages, _ = split_labels(corpus)
+    pipe = ERPipeline(spark)
+    prepared = pipe.prepare(pipe.extract(pages))
+    pairs = pipe.block(prepared)
+    scored = pipe.score(pairs, prepared)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
