@@ -1,38 +1,738 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship ER pipeline on sf0.001 documents.
+`queries()` exposes one DataFrame-producing callable per implemented
+operator from SURVEY.md §2 (+ the training-data-pipeline additions);
+`oracle_sql()` gives the DuckDB-equivalent SQL for every
+SQL-expressible one. Column names and float rounding are aligned on
+both sides so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# tokenization used identically on both sides:
+#   spark: _toks(col)   duckdb: _DUCK_TOKS.format(c="text")
+_DUCK_TOKS = "list_filter(regexp_split_to_array(lower({c}), '\\s+'), x -> x <> '')"
 
 
+def _toks(c):
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# flagship
+# =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER pipeline (tokenize -> MinHash-LSH blocking ->
+    feature scoring -> connected components) over sf0.001 documents;
+    returns (url, entity_id, entity_size)."""
+    from ember_spark.plans.pipeline import ERPipeline
+
+    docs = _t(spark, SF_DEFAULT, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    pipe = ERPipeline(spark)
+    prepared = pipe.prepare(docs)
+    pairs = pipe.block(prepared)
+    scored = pipe.score(pairs, prepared)
+    entities = pipe.cluster(scored, prepared)
+    sizes = entities.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))
+    return entities.join(sizes, "entity_id").select("url", "entity_id", "entity_size")
+
+
+# =====================================================================
+# queries — relational core (SURVEY.md §2.1-2.7)
+# =====================================================================
+def q_a1_groupby_count(spark, sf):  # A1: group-by count (value_counts)
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_tpch_q1(spark, sf):  # A1/A5/S2: TPC-H Q1 shape, pruned scan + 1 shuffle
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_f1_semi_join(spark, sf):  # F1/J4: left-semi (EXISTS)
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_j3_anti_join(spark, sf):  # J3/U2: left-anti (NOT EXISTS)
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_f2_having_semi(spark, sf):  # F2: drop small groups via census + semi-join
+    orders = _t(spark, sf, "orders")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("o_custkey")
+    )
+    return orders.join(big, "o_custkey", "left_semi").select("o_orderkey", "o_custkey")
+
+
+def q_j1_join_agg(spark, sf):  # J1-analog equi-join + agg; nation broadcast
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    nation = _t(spark, sf, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_q3_shipping(spark, sf):  # J1+T3: join, agg, deterministic top-10
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_t1_topk_per_group_asc(spark, sf):  # T1: per-group top-k ascending
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderkey", "o_custkey", "rn")
+    )
+
+
+def q_t2_topk_per_group_desc(spark, sf):  # T2: per-group top-k descending
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        _t(spark, sf, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "rn")
+    )
+
+
+def q_t3_global_topk(spark, sf):  # T3: global top-k with tie-break
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(12)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def q_t45_deterministic_sample(spark, sf):  # T4/T5: seeded sample via hash order
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary")).asc(),
+        F.col("event_id").asc(),
+    )
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "rn")
+    )
+
+
+def q_t6_hash_split(spark, sf):  # T6: deterministic hash split + census
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(bucket.isin(*list("0123456789ab")), F.lit("train"))
+        .when(bucket.isin("c", "d"), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        _t(spark, sf, "orders")
+        .select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_u1_union_counts(spark, sf):  # U1: union-all then agg
+    a = _t(spark, sf, "nation").select(F.col("n_name").alias("name"))
+    b = _t(spark, sf, "region").select(F.col("r_name").alias("name"))
+    return a.unionByName(b).groupBy("name").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_a2_distinct(spark, sf):  # A2: distinct
+    return _t(spark, sf, "events").select("event_type").distinct()
+
+
+def q_f3_null_fill(spark, sf):  # F3 + X7: null fill + literal column
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.col("props"), F.lit("")).alias("props_filled"),
+        F.lit(1).alias("label"),
+    )
+
+
+def q_a5_hourly_rollup(spark, sf):  # A5: counts + derived stats per key/hour
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# =====================================================================
+# queries — scalar/text ops (SURVEY.md §2.7) over documents
+# =====================================================================
+def q_x12_regex_replace(spark, sf):  # X1/X2: literal + regex replace
+    d = _t(spark, sf, "documents")
+    lit_rep = F.replace(F.replace(F.col("text"), F.lit("#;#"), F.lit(" ")), F.lit("#:#"), F.lit(" "))
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(lit_rep, "[aeiou]", "_").cast("binary")).alias("sub_hash"),
+    )
+
+
+def q_x3_serialize_text(spark, sf):  # X3: byte-identical falsy-to-empty space join
+    from ember_spark.functions.text import serialize_attrs
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        serialize_attrs(F.col("lang"), F.col("source"), F.col("text")).alias("serialized"),
+    )
+
+
+def q_x4_tokenize_stats(spark, sf):  # X4: tokenize + array stats
+    d = _t(spark, sf, "documents")
+    toks = _toks(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+def q_a3_token_union_agg(spark, sf):  # A3: per-group set-union aggregate
+    d = _t(spark, sf, "documents")
+    toks = _toks(F.col("text"))
+    return (
+        d.select("source", toks.alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("toks")))), " "
+            ).alias("vocab"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def q_x5_jaccard_pairs(spark, sf):  # X5 + J1/F4: blocked pairs + token jaccard
+    from ember_spark.functions.similarity import token_jaccard
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", _toks(F.col("text")).alias("toks")
+    )
+    l = d.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_l"), F.col("toks").alias("t_l")
+    )
+    r = d.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_r"), F.col("toks").alias("t_r")
+    )
+    return (
+        l.join(r, ["lang", "source"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("jaccard", F.round(token_jaccard(F.col("t_l"), F.col("t_r")), 6))
+        .filter(F.col("jaccard") >= 0.1)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+# =====================================================================
+# queries — dedup / text-analysis / similarity-search additions
+# =====================================================================
+def q_dedup_exact(spark, sf):  # exact dedup groups by content hash
+    from ember_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "orders"), id_col="o_orderkey", text_col="o_orderpriority")
+
+
+def q_dedup_exact_documents(spark, sf):  # on real corpus text (0 groups is valid)
+    from ember_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_fingerprint(spark, sf):  # order-insensitive doc fingerprint
+    from ember_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+def q_lang_id(spark, sf):  # stopword/CJK heuristic language id
+    from ember_spark.operators.textstats import add_lang_id
+
+    return add_lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
+
+
+def q_quality_score(spark, sf):  # quality features
+    from ember_spark.operators.textstats import quality_features
+
+    return quality_features(_t(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 2).alias("quality_score"),
+    )
+
+
+def q_token_count(spark, sf):  # whitespace + BPE-ish token counting
+    from ember_spark.operators.textstats import token_count
+
+    return token_count(_t(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("word_pieces").cast("long").alias("word_pieces"),
+        F.col("bpe_estimate").cast("long").alias("bpe_estimate"),
+    )
+
+
+def q_ann_topk(spark, sf):  # brute-force cosine top-k (exact baseline)
+    from ember_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    res = brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    return res.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+
+
+def q_m7_pairwise_prf(spark, sf):  # M7: positive-class P/R/F1 aggregation
+    from ember_spark.functions.similarity import cosine_sim
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    l = emb.select(
+        F.col("vec_id").alias("id_l"), F.col("embedding").alias("e_l"), F.col("label").alias("y_l")
+    )
+    r = emb.select(
+        F.col("vec_id").alias("id_r"), F.col("embedding").alias("e_r"), F.col("label").alias("y_r")
+    )
+    pairs = (
+        l.crossJoin(r)
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select(
+            (F.col("y_l") == F.col("y_r")).cast("int").alias("label"),
+            (cosine_sim(F.col("e_l"), F.col("e_r")) >= 0.15).cast("int").alias("prediction"),
+        )
+    )
+    agg = pairs.agg(
+        F.sum(((F.col("prediction") == 1) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("prediction") == 1) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("prediction") == 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+    )
+
+
+# ----- non-SQL-expressible (rows-only checks): LSH / simhash / CC / pipeline
+def q_minhash_lsh_dedup(spark, sf):
+    from ember_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_t(spark, sf, "documents"), threshold=0.2)
+
+
+def q_simhash_dedup(spark, sf):
+    from ember_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(_t(spark, sf, "documents"), max_hamming=16)
+
+
+def q_embedding_neardup_lsh(spark, sf):
+    from ember_spark.operators.dedup import embedding_neardup
+
+    return embedding_neardup(_t(spark, sf, "embeddings"), threshold=0.5, planes=8)
+
+
+def q_ann_lsh_topk(spark, sf):
+    from ember_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, planes=8)
+
+
+def q_connected_components(spark, sf):
+    """CC over edges = same-block token-jaccard >= 0.2 (rows-only: the
+    iterative algorithm is not single-statement SQL; correctness is
+    pytest-verified vs a union-find oracle)."""
+    from ember_spark.operators.clustering import connected_components
+
+    edges = q_x5_jaccard_pairs(spark, sf).filter(F.col("jaccard") >= 0.2)
+    return connected_components(edges, "id_l", "id_r")
+
+
+def q_er_pipeline_entities(spark, sf):
+    from ember_spark.plans.pipeline import ERPipeline
+
+    docs = _t(spark, sf, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        "lang",
+    )
+    pipe = ERPipeline(spark)
+    prepared = pipe.prepare(docs)
+    scored = pipe.score(pipe.block(prepared), prepared)
+    return pipe.cluster(scored, prepared)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational core
+        "a1_groupby_count": q_a1_groupby_count,
+        "tpch_q1": q_tpch_q1,
+        "f1_semi_join": q_f1_semi_join,
+        "j3_anti_join": q_j3_anti_join,
+        "f2_having_semi": q_f2_having_semi,
+        "j1_join_agg": q_j1_join_agg,
+        "q3_shipping": q_q3_shipping,
+        "t1_topk_per_group_asc": q_t1_topk_per_group_asc,
+        "t2_topk_per_group_desc": q_t2_topk_per_group_desc,
+        "t3_global_topk": q_t3_global_topk,
+        "t45_deterministic_sample": q_t45_deterministic_sample,
+        "t6_hash_split": q_t6_hash_split,
+        "u1_union_counts": q_u1_union_counts,
+        "a2_distinct": q_a2_distinct,
+        "f3_null_fill": q_f3_null_fill,
+        "a5_hourly_rollup": q_a5_hourly_rollup,
+        # scalar/text
+        "x12_regex_replace": q_x12_regex_replace,
+        "x3_serialize_text": q_x3_serialize_text,
+        "x4_tokenize_stats": q_x4_tokenize_stats,
+        "a3_token_union_agg": q_a3_token_union_agg,
+        "x5_jaccard_pairs": q_x5_jaccard_pairs,
+        # dedup / text analysis / similarity search
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "ann_topk": q_ann_topk,
+        "m7_pairwise_prf": q_m7_pairwise_prf,
+        # rows-only (non-SQL-expressible)
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "connected_components": q_connected_components,
+        "er_pipeline_entities": q_er_pipeline_entities,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
+# =====================================================================
+# DuckDB oracles
+# =====================================================================
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _DUCK_TOKS.format(c="text")
+    return {
+        "a1_groupby_count": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "f1_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "j3_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "f2_having_semi": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (
+                SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) >= 5)
+        """,
+        "j1_join_agg": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "q3_shipping": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderdate < TIMESTAMP '1995-03-15' AND c_mktsegment = 'BUILDING'
+            GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "t1_topk_per_group_asc": """
+            SELECT o_orderkey, o_custkey, rn FROM (
+                SELECT o_orderkey, o_custkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 3
+        """,
+        "t2_topk_per_group_desc": """
+            SELECT c_mktsegment, c_custkey, rn FROM (
+                SELECT c_mktsegment, c_custkey,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                FROM customer) WHERE rn <= 5
+        """,
+        "t3_global_topk": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 12
+        """,
+        "t45_deterministic_sample": """
+            SELECT event_type, event_id, rn FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY md5(event_id::VARCHAR) ASC,
+                                                   event_id ASC) AS rn
+                FROM events) WHERE rn <= 5
+        """,
+        "t6_hash_split": """
+            SELECT CASE
+                     WHEN substring(md5(o_orderkey::VARCHAR), 1, 1) IN
+                          ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                     WHEN substring(md5(o_orderkey::VARCHAR), 1, 1) IN ('c','d') THEN 'valid'
+                     ELSE 'test'
+                   END AS split, count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "u1_union_counts": """
+            SELECT name, count(*) AS n FROM (
+                SELECT n_name AS name FROM nation
+                UNION ALL SELECT r_name AS name FROM region) GROUP BY 1
+        """,
+        "a2_distinct": "SELECT DISTINCT event_type FROM events",
+        "f3_null_fill": """
+            SELECT event_id, coalesce(props, '') AS props_filled, 1 AS label FROM events
+        """,
+        "a5_hourly_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "x12_regex_replace": """
+            SELECT doc_id,
+                   md5(regexp_replace(
+                       replace(replace(text, '#;#', ' '), '#:#', ' '),
+                       '[aeiou]', '_', 'g')) AS sub_hash
+            FROM documents
+        """,
+        "x3_serialize_text": """
+            SELECT doc_id,
+                   coalesce(lang, '') || ' ' || coalesce(source, '') || ' '
+                   || coalesce(text, '') AS serialized
+            FROM documents
+        """,
+        "x4_tokenize_stats": f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   len(list_distinct({toks})) AS n_distinct,
+                   {toks}[1] AS first_token,
+                   {toks}[-1] AS last_token
+            FROM documents
+        """,
+        "a3_token_union_agg": f"""
+            SELECT source,
+                   array_to_string(list_sort(list_distinct(flatten(list({toks})))), ' ')
+                     AS vocab,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "x5_jaccard_pairs": f"""
+            WITH d AS (SELECT doc_id, lang, source, {toks} AS t FROM documents)
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   round(len(list_intersect(a.t, b.t))::DOUBLE
+                         / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.t, b.t))::DOUBLE
+                        / len(list_distinct(list_concat(a.t, b.t))), 6) >= 0.1
+        """,
+        "dedup_exact": """
+            SELECT md5(o_orderpriority) AS content_hash,
+                   min(o_orderkey) AS canonical_id, count(*) AS dup_count
+            FROM orders GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS canonical_id, count(*) AS dup_count
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       list_filter(regexp_split_to_array(
+                           lower(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                           '\\s+'), x -> x <> ''))), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH d AS (
+              SELECT doc_id, text, {toks} AS t,
+                     len(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+              FROM documents),
+            h AS (
+              SELECT doc_id, text, cjk,
+                 len(list_intersect(t, ['the','and','of','to','in','is','a','for','with','on'])) AS h_en,
+                 len(list_intersect(t, ['der','die','das','und','ist','ein','nicht','mit','für','von'])) AS h_de,
+                 len(list_intersect(t, ['el','la','de','que','y','en','un','es','por','los'])) AS h_es
+              FROM d)
+            SELECT doc_id,
+                   CASE WHEN cjk * 2 >= len(text) THEN 'zh'
+                        WHEN h_de >= greatest(h_en, h_es, 1) THEN 'de'
+                        WHEN h_en >= greatest(h_es, 1) THEN 'en'
+                        WHEN h_es >= 1 THEN 'es'
+                        ELSE 'und' END AS lang_pred
+            FROM h
+        """,
+        "quality_score": f"""
+            WITH d AS (
+              SELECT doc_id, text, {toks} AS t,
+                     len(text) AS n_chars,
+                     len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))
+                       AS n_punct
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_chars, n_punct, len(t) AS n_tokens,
+                 len(list_intersect(t,
+                   ['the','and','of','to','in','is','a','for','with','on',
+                    'der','die','das','und','ist','ein','nicht','mit','für','von',
+                    'el','la','de','que','y','en','un','es','por','los'])) AS sw_hits
+              FROM d),
+            m AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE (n_chars - (n_tokens - 1))::DOUBLE / n_tokens END AS mean_token_len,
+                CASE WHEN n_chars = 0 THEN 0.0
+                     ELSE n_punct::DOUBLE / n_chars END AS punct_ratio,
+                CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE sw_hits::DOUBLE / n_tokens END AS stopword_ratio
+              FROM s)
+            SELECT doc_id, n_tokens,
+                   round(mean_token_len, 6) AS mean_token_len,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+                       + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+                       + (CASE WHEN stopword_ratio > 0 THEN 0.1 ELSE 0.0 END), 2)
+                     AS quality_score
+            FROM m
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   len({toks}) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                     AS word_pieces,
+                   ceil(len(text)::DOUBLE / 4.0)::BIGINT AS bpe_estimate
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                       WHERE vec_id < 20),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.e, c.e)
+                       / (sqrt(list_dot_product(q.e, q.e))
+                          * sqrt(list_dot_product(c.e, c.e))) AS cos_raw
+              FROM q JOIN c ON q.vec_id <> c.vec_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+              FROM s)
+            SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
+            FROM r WHERE rank <= 3
+        """,
+        "m7_pairwise_prf": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+                       FROM embeddings WHERE vec_id < 200),
+            p AS (
+              SELECT (a.label = b.label)::INT AS label,
+                     (list_dot_product(a.emb, b.emb)
+                       / (sqrt(list_dot_product(a.emb, a.emb))
+                          * sqrt(list_dot_product(b.emb, b.emb))) >= 0.15)::INT
+                       AS prediction
+              FROM e a JOIN e b ON a.vec_id < b.vec_id),
+            agg AS (
+              SELECT sum(CASE WHEN prediction = 1 AND label = 1 THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN prediction = 1 AND label = 0 THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN prediction = 0 AND label = 1 THEN 1 ELSE 0 END) AS fn
+              FROM p)
+            SELECT tp, fp, fn,
+                   round(tp / (tp + fp), 6) AS precision,
+                   round(tp / (tp + fn), 6) AS recall
+            FROM agg
+        """,
+    }

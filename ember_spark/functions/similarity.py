@@ -95,14 +95,30 @@ def jaro_winkler_py(s1: str | None, s2: str | None, prefix_weight: float = 0.1) 
     return j
 
 
-@F.pandas_udf(DoubleType())
-def jaro_winkler_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+def make_jaro_winkler_udf(max_len: int = 80):
     """Arrow-batched Jaro-Winkler over string pair columns.
 
     Python loops run per Arrow batch (10k rows), not per Spark row —
-    this is the sanctioned slow path per SURVEY.md §2.8 M3.
+    this is the sanctioned slow path per SURVEY.md §2.8 M3. JW is
+    O(len^2); `max_len` truncates both sides (prefix similarity), the
+    standard bound for document-scale inputs — the reference's BERT
+    matcher similarly truncates at max_length=256 tokens
+    (`configs/ali_tm.yaml`).
     """
-    return pd.Series(
-        [jaro_winkler_py(a, b) for a, b in zip(left.tolist(), right.tolist())],
-        dtype="float64",
-    )
+
+    @F.pandas_udf(DoubleType())
+    def _jw(left: pd.Series, right: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaro_winkler_py(
+                    a if a is None else a[:max_len], b if b is None else b[:max_len]
+                )
+                for a, b in zip(left.tolist(), right.tolist())
+            ],
+            dtype="float64",
+        )
+
+    return _jw
+
+
+jaro_winkler_udf = make_jaro_winkler_udf(80)

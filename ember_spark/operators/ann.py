@@ -1,0 +1,89 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- brute-force cosine top-k: the correctness baseline; broadcast the
+  query side, native cosine, window top-k. O(Q x N) but fully
+  distributed over N — right answer for small Q at any N.
+- LSH-bucketed top-k: random-hyperplane buckets with multi-probe
+  (signature hamming-neighbors), approximate at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ember_spark.functions.similarity import cosine_sim
+from ember_spark.operators.dedup import _hyperplane_signature
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k per query (query side broadcast).
+
+    Ties break by neighbor id ascending (deterministic).
+    Self-matches (same id) are excluded.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_sim(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    planes: int = 10,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane-signature bucket
+    with the query (multi-probe: also buckets within `probe_bits` bit
+    flips). Recall grows with probes; cost stays ~bucket-sized."""
+    sig_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        _hyperplane_signature(F.col(emb_col), planes).alias("bucket"),
+    )
+    q_sig = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        _hyperplane_signature(F.col(emb_col), planes).alias("sig"),
+    )
+    # multi-probe: original signature + single-bit flips
+    probes = [F.col("sig")]
+    if probe_bits >= 1:
+        probes += [F.col("sig").bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
+    q = q_sig.select(
+        "query_id", "q_emb", F.explode(F.array(*probes)).alias("bucket")
+    ).dropDuplicates(["query_id", "bucket"])
+    scored = (
+        q.join(sig_c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", cosine_sim(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

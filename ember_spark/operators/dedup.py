@@ -1,0 +1,235 @@
+"""Deduplication operators over a document table — the training-data
+pipeline surface (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup). Each returns a DataFrame and is exposed through
+`__spark_entry__.queries()`.
+
+Scale notes: every variant is blocking-based (no crossJoin). Exact
+dedup is one hash groupBy; LSH variants shuffle on band keys with the
+hot-block cap from blocking.py; verification joins carry only the
+columns the predicate needs (Catalyst prunes the scan accordingly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ember_spark.functions.hashing import simhash64_udf
+from ember_spark.functions.similarity import cosine_sim, token_jaccard
+from ember_spark.functions.text import normalize_text
+from ember_spark.functions.tokenize import char_ngrams, tokenize_ws
+from ember_spark.operators.blocking import DEFAULT_BLOCK_CAP, cap_hot_blocks, lsh_candidate_pairs
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = False
+) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per duplicated
+    content with the canonical (min) id and the group size.
+    """
+    key = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(key).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
+def distinct_by_content(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per exact content — the dedup *apply* step."""
+    w_min = (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min.select(id_col), id_col, "left_semi")
+
+
+# ----------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    use_words: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard within an exact block
+    (brute-force inside blocks — the small-block/oracle-checkable path;
+    use minhash_lsh_dedup for unblocked web scale)."""
+    # word n-grams via sequence-index windows (native, mirrors char_ngrams)
+    toks = tokenize_ws(F.col(text_col))
+    if use_words:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        grams = F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(grams)
+    else:
+        grams = char_ngrams(normalize_text(F.col(text_col)), n)
+
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    if block_col:
+        base = base.join(
+            df.select(F.col(id_col).alias("id"), F.col(block_col).alias("bk")), "id"
+        )
+    else:
+        base = base.withColumn("bk", F.lit(1))
+    left = base.select(F.col("bk"), F.col("id").alias("id_l"), F.col("grams").alias("g_l"))
+    right = base.select(F.col("bk"), F.col("id").alias("id_r"), F.col("grams").alias("g_r"))
+    return (
+        left.join(right, "bk")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("jaccard", token_jaccard(F.col("g_l"), F.col("g_r")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ minhash lsh
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    cap: int = DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact token Jaccard ≥
+    threshold (shingle→minhash→band→bucket-join→verify)."""
+    toks = df.select(F.col(id_col).alias("id"), tokenize_ws(F.col(text_col)).alias("tokens"))
+    cands = lsh_candidate_pairs(
+        toks, "id", "tokens", num_hashes=num_hashes, bands=bands, rows=rows, cap=cap
+    )
+    l = toks.select(F.col("id").alias("id_l"), F.col("tokens").alias("t_l"))
+    r = toks.select(F.col("id").alias("id_r"), F.col("tokens").alias("t_r"))
+    return (
+        cands.join(l, "id_l")
+        .join(r, "id_r")
+        .withColumn("jaccard", token_jaccard(F.col("t_l"), F.col("t_r")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    cap: int = DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit SimHash, banded into
+    (max_hamming+1) chunks — two docs within `max_hamming` bits must
+    share at least one exact chunk (pigeonhole) — verified by full
+    hamming distance.
+    """
+    chunks = max_hamming + 1
+    bits = 64 // chunks
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash64_udf(tokenize_ws(F.col(text_col))).alias("simhash"),
+    )
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    # chunk c: bits [c*bits, (c+1)*bits) + chunk id in the key
+                    F.xxhash64(
+                        F.lit(c),
+                        F.shiftrightunsigned(F.col("simhash"), c * bits).bitwiseAND(
+                            F.lit((1 << bits) - 1)
+                        ),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("band", "block_key"),
+    ).select("id", "simhash", "block_key")
+    banded = cap_hot_blocks(banded, "block_key", cap)
+    left = banded.select("block_key", F.col("id").alias("id_l"), F.col("simhash").alias("h_l"))
+    right = banded.select("block_key", F.col("id").alias("id_r"), F.col("simhash").alias("h_r"))
+    return (
+        left.join(right, "block_key")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("hamming", F.bit_count(F.col("h_l").bitwiseXOR(F.col("h_r"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+
+
+# ------------------------------------------------------- embedding neardup
+def embedding_neardup(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 12,
+    cap: int = DEFAULT_BLOCK_CAP,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    Scale path: random-hyperplane LSH — sign pattern over `planes`
+    deterministic pseudo-hyperplanes (hash-derived, no stored model)
+    buckets vectors; verify cosine ≥ threshold inside buckets. With
+    brute_force=True skips bucketing (oracle-checkable baseline).
+    """
+    dim_df = emb_df.select(F.size(F.col(emb_col)).alias("d")).limit(1)
+    if brute_force:
+        base = emb_df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+        l = base.select(F.col("id").alias("id_l"), F.col("e").alias("e_l"))
+        r = base.select(F.col("id").alias("id_r"), F.col("e").alias("e_r"))
+        return (
+            l.crossJoin(r)
+            .filter(F.col("id_l") < F.col("id_r"))
+            .withColumn("cos", cosine_sim(F.col("e_l"), F.col("e_r")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_l", "id_r", "cos")
+        )
+    sig = _hyperplane_signature(F.col(emb_col), planes)
+    base = emb_df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"), sig.alias("block_key"))
+    base = cap_hot_blocks(base, "block_key", cap)
+    l = base.select("block_key", F.col("id").alias("id_l"), F.col("e").alias("e_l"))
+    r = base.select("block_key", F.col("id").alias("id_r"), F.col("e").alias("e_r"))
+    return (
+        l.join(r, "block_key")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("cos", cosine_sim(F.col("e_l"), F.col("e_r")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_l", "id_r", "cos")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+
+
+def _hyperplane_signature(emb: Column, planes: int) -> Column:
+    """Sign pattern of `planes` pseudo-random hyperplanes as one long.
+
+    Plane p's coefficient for dimension i is a deterministic hash
+    xxhash64(p, i) mapped to [-1, 1] — no stored model, fully native.
+    """
+    bits = []
+    for p in range(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(F.sequence(F.lit(0), F.size(emb) - 1), lambda i: F.xxhash64(F.lit(p), i)),
+                lambda v, h: v.cast("double") * (h.cast("double") / F.lit(float(1 << 63))),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")

@@ -39,14 +39,20 @@ DEFAULT_BIAS = -9.5
 
 @dataclass
 class PipelineConfig:
-    num_hashes: int = 32
+    num_hashes: int = 48
     bands: int = 16
-    rows: int = 2
-    block_cap: int = 2000
+    rows: int = 3
+    block_cap: int = 1000
     embedding_dim: int = 64
     use_url_key: bool = True
     score_partitions: int | None = None  # None -> spark.sql.shuffle.partitions
     salt: int = 8
+    # tokens present in > this fraction of docs are dropped from the
+    # BLOCKING token set (df census -> broadcast literal). Stopword-like
+    # tokens otherwise inflate MinHash similarity corpus-wide and blow
+    # up candidate counts quadratically. Features still see all tokens.
+    hot_token_df_frac: float = 0.05
+    hot_token_max: int = 2000  # safety cap on the broadcast literal
     matcher: LogisticMatcher = field(
         default_factory=lambda: LogisticMatcher(DEFAULT_WEIGHTS, DEFAULT_BIAS)
     )
@@ -75,21 +81,53 @@ class ERPipeline:
         return pages.select(F.col("url"), text.alias("text"), F.col("lang"))
 
     def prepare(self, docs: DataFrame) -> DataFrame:
-        """tokens + hashing-trick embedding per doc."""
+        """tokens + hashing-trick embedding + blocking token set.
+
+        `block_tokens` = tokens minus corpus-hot tokens (document
+        frequency above cfg.hot_token_df_frac). The df census is one
+        map-side-combinable groupBy; the hot set is tiny by construction
+        (at most 1/frac tokens can exceed frac of docs) and ships as a
+        broadcast literal into `array_except` — no extra join on the
+        hot path.
+        """
         emb = make_hash_embedding_udf(self.cfg.embedding_dim)
-        return docs.select(
+        base = docs.select(
             "url",
             "text",
             "lang",
             tokenize_auto(F.col("text"), F.col("lang")).alias("tokens"),
         ).withColumn("emb", emb(F.col("tokens")))
+        hot = self._hot_tokens(base)
+        block_toks = (
+            F.array_except(F.col("tokens"), F.lit(hot)) if hot else F.col("tokens")
+        )
+        return base.withColumn("block_tokens", block_toks)
+
+    def _hot_tokens(self, base: DataFrame) -> list[str]:
+        if not self.cfg.hot_token_df_frac:
+            return []
+        n_docs = base.count()
+        min_df = max(int(n_docs * self.cfg.hot_token_df_frac), 2)
+        hot_rows = (
+            base.select(F.explode(F.array_distinct("tokens")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_df)
+            .orderBy(F.col("df").desc(), F.col("tok").asc())
+            .limit(self.cfg.hot_token_max)
+            .collect()
+        )
+        return [r["tok"] for r in hot_rows]
 
     def block(self, prepared: DataFrame) -> DataFrame:
         keys = [url_path_key(F.col("url"))] if self.cfg.use_url_key else []
+        tokens_col = (
+            "block_tokens" if "block_tokens" in prepared.columns else "tokens"
+        )
         return candidate_pairs(
             prepared,
             id_col="url",
-            tokens_col="tokens",
+            tokens_col=tokens_col,
             exact_key_exprs=keys,
             num_hashes=self.cfg.num_hashes,
             bands=self.cfg.bands,

@@ -1,0 +1,40 @@
+"""Sinks (SURVEY.md §2.1 S3/S5): parquet by default; Iceberg when the
+runtime catalog is on the classpath (same call shape, table semantics
+preserved — SURVEY.md §7.3 'Iceberg in sandbox').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_table(df: DataFrame, name_or_path: str, mode: str = "overwrite") -> None:
+    """Iceberg `writeTo(...).createOrReplace()` when available, else a
+    parquet directory with identical layout (the driver oracle reads
+    parquet either way)."""
+    spark = df.sparkSession
+    if iceberg_available(spark) and "/" not in name_or_path:
+        df.writeTo(name_or_path).createOrReplace()
+    else:
+        write_parquet(df, name_or_path, mode=mode)
