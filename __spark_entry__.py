@@ -393,7 +393,7 @@ def q_m7_pairwise_prf(spark, sf):  # M7: positive-class P/R/F1 aggregation
 def q_minhash_lsh_dedup(spark, sf):
     from ember_spark.operators.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_t(spark, sf, "documents"), threshold=0.2)
+    return minhash_lsh_dedup(_t(spark, sf, "documents"), threshold=0.2, shingle=3)
 
 
 def q_simhash_dedup(spark, sf):

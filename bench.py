@@ -36,7 +36,7 @@ def main() -> None:
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     n_cores = int(cpus) if cpus else (os.cpu_count() or 8)
-    spark = get_spark("ember_bench", cores=n_cores, shuffle_partitions=2 * n_cores)
+    spark = get_spark("ember_bench", cores=n_cores, shuffle_partitions=n_cores)
 
     sf_tag = args.sf_dir.rstrip("/").split("sf")[-1]
     queries: dict[str, float] = {}

@@ -82,6 +82,20 @@ def simhash64_udf(tokens: pd.Series) -> pd.Series:
     return pd.Series([simhash64_py(list(t) if t is not None else None) for t in tokens], dtype="int64")
 
 
+#: executor-lifetime cache token -> raw u64 hash; tokens repeat heavily
+#: across documents, so blake2b runs ~once per vocabulary word per worker
+_EMB_CACHE: dict[str, int] = {}
+
+
+def _emb_slot(t: str, dim: int) -> tuple[int, float]:
+    h = _EMB_CACHE.get(t)
+    if h is None:
+        h = _stable_u64(t, 1)
+        if len(_EMB_CACHE) < 4_000_000:  # bound worker memory
+            _EMB_CACHE[t] = h
+    return h % dim, (1.0 if (h >> 63) & 1 else -1.0)
+
+
 def hash_embedding_py(tokens: list[str] | None, dim: int = 64) -> list[float]:
     """Hashing-trick embedding: each token adds ±1 at a hashed index;
     L2-normalized. Deterministic (blake2b) across processes."""
@@ -101,7 +115,18 @@ def hash_embedding_py(tokens: list[str] | None, dim: int = 64) -> list[float]:
 def make_hash_embedding_udf(dim: int = 64):
     @F.pandas_udf(ArrayType(FloatType()))
     def _emb(tokens: pd.Series) -> pd.Series:
-        return pd.Series([hash_embedding_py(list(t) if t is not None else None, dim) for t in tokens])
+        out = []
+        for toks in tokens:
+            v = np.zeros(dim, dtype=np.float64)
+            if toks is not None and len(toks):
+                for t in toks:
+                    idx, sign = _emb_slot(t, dim)
+                    v[idx] += sign
+                n = np.linalg.norm(v)
+                if n > 0:
+                    v /= n
+            out.append(v.astype(np.float32))
+        return pd.Series(out)
 
     return _emb
 

@@ -41,6 +41,34 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product of two fixed-width arrays as a static expression
+    (element_at chain). Unlike `aggregate`/`zip_with`, this contains no
+    higher-order function — HOFs evaluate interpreted with per-element
+    boxing and anti-scale under thread contention; the static expansion
+    stays inside whole-stage codegen."""
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def cosine_sim_fixed(a: Column, b: Column, dim: int, normalized: bool = False) -> Column:
+    """Cosine over fixed-dim arrays via static expansion. With
+    normalized=True (inputs are unit vectors, e.g. the hashing-trick
+    embeddings) it is just the dot product."""
+    dot = dot_fixed(a, b, dim)
+    if normalized:
+        return dot
+    na = F.sqrt(dot_fixed(a, a, dim))
+    nb = F.sqrt(dot_fixed(b, b, dim))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
 # ------------------------------------------------------------- jaro-winkler
 def _jaro(s1: str, s2: str) -> float:
     if s1 == s2:

@@ -16,7 +16,7 @@ All joins are hash equi-joins on the block key; no crossJoin anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ember_spark.functions.hashing import lsh_band_keys, minhash_signature
@@ -34,20 +34,29 @@ def block_census(keys: DataFrame, key_col: str = "block_key") -> DataFrame:
 def cap_hot_blocks(
     keys: DataFrame, key_col: str = "block_key", cap: int = DEFAULT_BLOCK_CAP
 ) -> DataFrame:
-    """Drop keys whose block exceeds `cap` rows (census + left-semi on
-    the surviving blocks). Blocks of size 1 produce no pairs and are
-    dropped too, shrinking the self-join input.
+    """Drop keys whose block exceeds `cap` rows. One window count over
+    a single shuffle on the key — no census join, and the output stays
+    hash-partitioned by the key so the following self-join reuses the
+    partitioning. Blocks of size 1 produce no pairs and are dropped
+    too, shrinking the self-join input.
     """
-    ok = (
-        block_census(keys, key_col)
-        .filter((F.col("block_size") >= 2) & (F.col("block_size") <= cap))
-        .select(key_col)
+    w = Window.partitionBy(key_col)
+    return (
+        keys.withColumn("_bs", F.count(F.lit(1)).over(w))
+        .filter((F.col("_bs") >= 2) & (F.col("_bs") <= cap))
+        .drop("_bs")
     )
-    return keys.join(ok, key_col, "left_semi")
 
 
 def _pairs_from_keys(keys: DataFrame, id_col: str, key_col: str) -> DataFrame:
-    """Self equi-join on the block key, canonicalized id_l < id_r."""
+    """Self equi-join on the block key, canonicalized id_l < id_r.
+
+    The input lineage is materialized once (localCheckpoint): a
+    self-join scans its input twice, and for LSH keys that input embeds
+    the full MinHash signature computation — recomputing it doubles the
+    most expensive part of blocking.
+    """
+    keys = keys.select(F.col(key_col), F.col(id_col)).localCheckpoint()
     left = keys.select(F.col(key_col), F.col(id_col).alias("id_l"))
     right = keys.select(F.col(key_col), F.col(id_col).alias("id_r"))
     return (
@@ -129,14 +138,34 @@ def candidate_pairs(
 
 
 def attach_pair_payload(
-    pairs: DataFrame, df: DataFrame, id_col: str, payload_cols: list[str]
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    payload_cols: list[str],
+    broadcast_payload: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Join each side's payload columns onto canonical pairs with
-    _l/_r suffixes. Two hash joins on the id; Spark broadcasts the
-    corpus side automatically when small.
+    _l/_r suffixes.
+
+    The pair table is usually an order of magnitude larger than the
+    corpus, so shuffling it twice through sort-merge joins dominates
+    scoring. When the (column-pruned) payload fits comfortably in
+    memory we broadcast it — in local mode a single shared hash map,
+    on a cluster one copy per executor. Beyond `broadcast_max_rows`
+    the joins fall back to shuffle joins (at 10^12-doc scale the right
+    answer is bucketing the corpus and pair table on the id — see
+    README scale notes).
     """
+    if broadcast_payload is None:
+        try:
+            broadcast_payload = df.count() <= broadcast_max_rows
+        except Exception:
+            broadcast_payload = False
     left = df.select(F.col(id_col).alias("id_l"), *[F.col(c).alias(f"{c}_l") for c in payload_cols])
     right = df.select(F.col(id_col).alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in payload_cols])
+    if broadcast_payload:
+        left, right = F.broadcast(left), F.broadcast(right)
     return pairs.join(left, "id_l").join(right, "id_r")
 
 

@@ -70,6 +70,7 @@ def connected_components(
     src: str = "id_l",
     dst: str = "id_r",
     max_iterations: int = 20,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Compute connected components of an undirected edge list.
 
@@ -89,14 +90,29 @@ def connected_components(
         .localCheckpoint()
     )
     prev = _checksum(e)
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+
+    # CC is a driver-synchronized loop of small shuffles; with a wide
+    # session shuffle width each round pays per-task overhead on near-
+    # empty partitions. Size the loop's shuffle width to the edge count
+    # (~500k edges per partition) and restore the session conf after.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    cc_parts = partitions or max(8, min(int(old_parts), prev[0] // 500_000 + 1))
+    spark.conf.set(conf_key, str(cc_parts))
+    try:
+        for _ in range(max_iterations):
+            e = _small_star(_large_star(e)).localCheckpoint()
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} iterations"
+            )
+    finally:
+        spark.conf.set(conf_key, old_parts)
 
     # fixpoint edge set is a star forest: src -> root(dst); nodes never
     # emitted (roots, self-loop-only, isolated-in-input) map to themselves

@@ -62,12 +62,9 @@ def ngram_jaccard_pairs(
     """Near-duplicate pairs by n-gram Jaccard within an exact block
     (brute-force inside blocks — the small-block/oracle-checkable path;
     use minhash_lsh_dedup for unblocked web scale)."""
-    # word n-grams via sequence-index windows (native, mirrors char_ngrams)
     toks = tokenize_ws(F.col(text_col))
     if use_words:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-        grams = F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(grams)
+        grams = word_shingles(toks, n)
     else:
         grams = char_ngrams(normalize_text(F.col(text_col)), n)
 
@@ -90,6 +87,14 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------------------ minhash lsh
+def word_shingles(tokens, n: int = 3):
+    """Word n-gram shingles over a token array (native). Shorter docs
+    collapse to one whole-doc shingle."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+    return F.when(F.size(tokens) < n, F.array(F.array_join(tokens, " "))).otherwise(grams)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -99,12 +104,23 @@ def minhash_lsh_dedup(
     bands: int = 16,
     rows: int = 2,
     cap: int = DEFAULT_BLOCK_CAP,
+    shingle: int = 1,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by exact token Jaccard ≥
-    threshold (shingle→minhash→band→bucket-join→verify)."""
-    toks = df.select(F.col(id_col).alias("id"), tokenize_ws(F.col(text_col)).alias("tokens"))
+    threshold (shingle→minhash→band→bucket-join→verify).
+
+    shingle>1 minhashes word n-gram shingles instead of unigrams —
+    essential on corpora with a small shared vocabulary, where unigram
+    MinHash collides almost everywhere; the verify step still uses
+    unigram Jaccard (the threshold's semantics).
+    """
+    tok_expr = tokenize_ws(F.col(text_col))
+    sig_expr = word_shingles(tok_expr, shingle) if shingle > 1 else tok_expr
+    toks = df.select(
+        F.col(id_col).alias("id"), tok_expr.alias("tokens"), sig_expr.alias("sig_tokens")
+    )
     cands = lsh_candidate_pairs(
-        toks, "id", "tokens", num_hashes=num_hashes, bands=bands, rows=rows, cap=cap
+        toks, "id", "sig_tokens", num_hashes=num_hashes, bands=bands, rows=rows, cap=cap
     )
     l = toks.select(F.col("id").alias("id_l"), F.col("tokens").alias("t_l"))
     r = toks.select(F.col("id").alias("id_r"), F.col("tokens").alias("t_r"))

@@ -22,7 +22,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ember_spark.functions.similarity import cosine_sim, jaro_winkler_udf, token_jaccard
+from ember_spark.functions.similarity import (
+    cosine_sim,
+    cosine_sim_fixed,
+    jaro_winkler_udf,
+    token_jaccard,
+)
 
 #: feature column names in model order
 FEATURES = ["f_jaccard", "f_containment", "f_jw", "f_cos", "f_len_ratio"]
@@ -36,11 +41,15 @@ def pair_features(
     tokens_r: str = "tokens_r",
     emb_l: str = "emb_l",
     emb_r: str = "emb_r",
+    emb_dim: int | None = None,
+    emb_normalized: bool = False,
 ) -> DataFrame:
     """Append the matcher's feature columns to a pair table.
 
     Everything except Jaro-Winkler is JVM-native; JW is one Arrow batch
-    UDF (the only Python on the hot path, per the M3 contract).
+    UDF (the only Python on the hot path, per the M3 contract). When
+    `emb_dim` is known, cosine uses the codegen-friendly static
+    expansion instead of HOF `aggregate` (see cosine_sim_fixed).
     """
     len_l = F.length(F.col(text_l)).cast("double")
     len_r = F.length(F.col(text_r)).cast("double")
@@ -57,7 +66,12 @@ def pair_features(
             F.when(min_sz == 0, F.lit(0.0)).otherwise(inter / min_sz),
         )
         .withColumn("f_jw", jaro_winkler_udf(F.col(text_l), F.col(text_r)))
-        .withColumn("f_cos", cosine_sim(F.col(emb_l), F.col(emb_r)))
+        .withColumn(
+            "f_cos",
+            cosine_sim_fixed(F.col(emb_l), F.col(emb_r), emb_dim, emb_normalized)
+            if emb_dim
+            else cosine_sim(F.col(emb_l), F.col(emb_r)),
+        )
         .withColumn(
             "f_len_ratio",
             F.when(

@@ -39,9 +39,13 @@ DEFAULT_BIAS = -9.5
 
 @dataclass
 class PipelineConfig:
-    num_hashes: int = 48
+    # b=16, r=4: P(candidate | jaccard s) = 1-(1-s^4)^16 — 0.98 at
+    # s=0.7, 0.88 at s=0.6, 0.12 at s=0.3: near-certain recall for true
+    # duplicates (plus transitive closure and the url key), an order of
+    # magnitude fewer hard-negative collisions than r=3
+    num_hashes: int = 64
     bands: int = 16
-    rows: int = 3
+    rows: int = 4
     block_cap: int = 1000
     embedding_dim: int = 64
     use_url_key: bool = True
@@ -53,6 +57,12 @@ class PipelineConfig:
     # up candidate counts quadratically. Features still see all tokens.
     hot_token_df_frac: float = 0.05
     hot_token_max: int = 2000  # safety cap on the broadcast literal
+    # broadcasting the corpus payload into the pair join looks tempting,
+    # but the broadcast relation build is driver-single-threaded (a
+    # fixed serial cost that swamps small/medium runs) and at web scale
+    # the corpus never fits anyway — default to shuffle joins, which
+    # parallelize with the cluster
+    broadcast_payload: bool = False
     matcher: LogisticMatcher = field(
         default_factory=lambda: LogisticMatcher(DEFAULT_WEIGHTS, DEFAULT_BIAS)
     )
@@ -96,12 +106,16 @@ class ERPipeline:
             "text",
             "lang",
             tokenize_auto(F.col("text"), F.col("lang")).alias("tokens"),
-        ).withColumn("emb", emb(F.col("tokens")))
+        )
+        # census runs on the UDF-free projection — the embedding UDF must
+        # not be evaluated an extra time just to count token frequencies
         hot = self._hot_tokens(base)
         block_toks = (
             F.array_except(F.col("tokens"), F.lit(hot)) if hot else F.col("tokens")
         )
-        return base.withColumn("block_tokens", block_toks)
+        return base.withColumn("block_tokens", block_toks).withColumn(
+            "emb", emb(F.col("tokens"))
+        )
 
     def _hot_tokens(self, base: DataFrame) -> list[str]:
         if not self.cfg.hot_token_df_frac:
@@ -139,13 +153,21 @@ class ERPipeline:
         parts = self.cfg.score_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions")
         )
+        # ship only what the features read: text truncated to the JW
+        # window — halves the pair-shuffle width
+        slim = prepared.select(
+            "url", F.substring("text", 1, 80).alias("text"), "tokens", "emb"
+        )
         withpay = attach_pair_payload(
-            pairs, prepared, "url", ["text", "tokens", "emb"]
+            pairs, slim, "url", ["text", "tokens", "emb"],
+            broadcast_payload=self.cfg.broadcast_payload,
         )
         # skew-key salting: spread any hot block's pairs before the
         # Python-bearing feature stage
         withpay = salted_repartition(withpay, "id_l", "id_r", parts, self.cfg.salt)
-        feats = pair_features(withpay)
+        feats = pair_features(
+            withpay, emb_dim=self.cfg.embedding_dim, emb_normalized=True
+        )
         return self.cfg.matcher.predict(feats).select(
             "id_l", "id_r", *[c for c in feats.columns if c.startswith("f_")], "score", "prediction"
         )

@@ -45,10 +45,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("EMBER_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("EMBER_DRIVER_MEM", "40g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Local mode funnels every shuffle through one disk, which caps core
+    # scaling artificially (a real cluster has per-executor local SSDs
+    # that scale with the executor count). Use tmpfs for shuffle spill
+    # when present so the sandbox approximates per-executor shuffle IO.
+    shm = os.environ.get("EMBER_LOCAL_DIR", "/dev/shm/spark_local")
+    if master.startswith("local") and os.path.isdir(os.path.dirname(shm) or "/"):
+        try:
+            os.makedirs(shm, exist_ok=True)
+            b = b.config("spark.local.dir", shm)
+        except OSError:
+            pass
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

@@ -1,0 +1,79 @@
+"""Physical-plan audit: verify predicate pushdown, column pruning,
+broadcast joins, and no row-wise Python on the hot path. Prints a
+compact PASS/FAIL per assertion; run after plan-affecting changes."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod  # noqa: E402
+
+from ember_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def codegen_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    return buf.getvalue()
+
+
+def check(name: str, cond: bool, detail: str = "") -> bool:
+    print(f"{'PASS' if cond else 'FAIL'} {name} {detail}")
+    return cond
+
+
+def main() -> int:
+    spark = get_spark("explain_audit", cores=8, shuffle_partitions=8)
+    qs = entry_mod.queries()
+    ok = True
+
+    # TPC-H Q1: filter pushed to parquet + pruned read schema
+    p = plan_of(qs["tpch_q1"](spark, SF))
+    ok &= check("q1_pushdown", "PushedFilters: [IsNotNull(l_shipdate)" in p or "LessThanOrEqual(l_shipdate" in p)
+    ok &= check("q1_column_pruning", "l_comment" not in p and "l_partkey" not in p)
+
+    # join+agg: nation broadcast
+    p = plan_of(qs["j1_join_agg"](spark, SF))
+    ok &= check("j1_broadcast", "BroadcastHashJoin" in p)
+
+    # semi/anti joins are real semi/anti, not materialized distinct+join
+    p = plan_of(qs["f1_semi_join"](spark, SF))
+    ok &= check("semi_join", "LeftSemi" in p)
+    p = plan_of(qs["j3_anti_join"](spark, SF))
+    ok &= check("anti_join", "LeftAnti" in p)
+
+    # scoring stage: Arrow-vectorized python only
+    p = plan_of(qs["er_pipeline_entities"](spark, SF))
+    ok &= check("no_rowwise_python", "BatchEvalPython" not in p)
+    ok &= check("arrow_python", "ArrowEvalPython" in p or "MapInPandas" in p)
+
+    # whole-stage codegen on the aggregation path (AQE hides codegen
+    # subtrees in pre-execution explain, so toggle it off for the check)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = codegen_of(qs["a1_groupby_count"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    ok &= check("wholestage_codegen", "WholeStageCodegen" in p and "Found 0" not in p)
+
+    # lsh dedup: no cartesian anywhere
+    p = plan_of(qs["minhash_lsh_dedup"](spark, SF))
+    ok &= check("no_cartesian_in_lsh", "CartesianProduct" not in p)
+
+    print("ALL OK" if ok else "AUDIT FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
