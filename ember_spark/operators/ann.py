@@ -54,19 +54,22 @@ def lsh_topk(
     emb_col: str = "embedding",
     planes: int = 10,
     probe_bits: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a hyperplane-signature bucket
     with the query (multi-probe: also buckets within `probe_bits` bit
     flips). Recall grows with probes; cost stays ~bucket-sized."""
+    if dim is None:
+        dim = int(corpus.select(F.size(F.col(emb_col)).alias("d")).first()["d"])
     sig_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
-        _hyperplane_signature(F.col(emb_col), planes).alias("bucket"),
+        _hyperplane_signature(F.col(emb_col), planes, dim).alias("bucket"),
     )
     q_sig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
-        _hyperplane_signature(F.col(emb_col), planes).alias("sig"),
+        _hyperplane_signature(F.col(emb_col), planes, dim).alias("sig"),
     )
     # multi-probe: original signature + single-bit flips
     probes = [F.col("sig")]

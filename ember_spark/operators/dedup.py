@@ -192,6 +192,7 @@ def embedding_neardup(
     planes: int = 12,
     cap: int = DEFAULT_BLOCK_CAP,
     brute_force: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
@@ -199,8 +200,9 @@ def embedding_neardup(
     deterministic pseudo-hyperplanes (hash-derived, no stored model)
     buckets vectors; verify cosine ≥ threshold inside buckets. With
     brute_force=True skips bucketing (oracle-checkable baseline).
+    `dim` (inferred from the first row when None) sizes the static
+    signature expansion.
     """
-    dim_df = emb_df.select(F.size(F.col(emb_col)).alias("d")).limit(1)
     if brute_force:
         base = emb_df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
         l = base.select(F.col("id").alias("id_l"), F.col("e").alias("e_l"))
@@ -212,7 +214,9 @@ def embedding_neardup(
             .filter(F.col("cos") >= threshold)
             .select("id_l", "id_r", "cos")
         )
-    sig = _hyperplane_signature(F.col(emb_col), planes)
+    if dim is None:
+        dim = int(emb_df.select(F.size(F.col(emb_col)).alias("d")).first()["d"])
+    sig = _hyperplane_signature(F.col(emb_col), planes, dim)
     base = emb_df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"), sig.alias("block_key"))
     base = cap_hot_blocks(base, "block_key", cap)
     l = base.select("block_key", F.col("id").alias("id_l"), F.col("e").alias("e_l"))
@@ -227,23 +231,41 @@ def embedding_neardup(
     )
 
 
-def _hyperplane_signature(emb: Column, planes: int) -> Column:
-    """Sign pattern of `planes` pseudo-random hyperplanes as one long.
+def _plane_coefficients(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane coefficients in [-1, 1]
+    (blake2b of (plane, dim-index); no stored model)."""
+    import hashlib
+    import struct
 
-    Plane p's coefficient for dimension i is a deterministic hash
-    xxhash64(p, i) mapped to [-1, 1] — no stored model, fully native.
+    coefs = []
+    for p in range(planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.blake2b(struct.pack("<qq", p, i), digest_size=8).digest()
+            (u,) = struct.unpack("<q", h)
+            row.append(u / float(1 << 63))
+        coefs.append(row)
+    return coefs
+
+
+def _hyperplane_signature(emb: Column, planes: int, dim: int = 64) -> Column:
+    """Sign pattern of `planes` deterministic hyperplanes as one long.
+
+    Coefficients are computed driver-side and folded into the plan as
+    literals; each plane's dot product is a static element_at expansion
+    (codegen-friendly — HOF aggregate is interpreted and anti-scales,
+    see cosine_sim_fixed).
     """
+    coefs = _plane_coefficients(planes, dim)
     bits = []
     for p in range(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(F.sequence(F.lit(0), F.size(emb) - 1), lambda i: F.xxhash64(F.lit(p), i)),
-                lambda v, h: v.cast("double") * (h.cast("double") / F.lit(float(1 << 63))),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        terms = [
+            F.element_at(emb, i + 1).cast("double") * F.lit(coefs[p][i])
+            for i in range(dim)
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
         bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
     out = bits[0]
     for b in bits[1:]:

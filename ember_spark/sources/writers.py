@@ -29,6 +29,12 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (reference op S5, the parquet->CSV round-trip for
+    DeepMatcher, `scripts/dm.py:262-266`). Not on the hot path."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
 def write_table(df: DataFrame, name_or_path: str, mode: str = "overwrite") -> None:
     """Iceberg `writeTo(...).createOrReplace()` when available, else a
     parquet directory with identical layout (the driver oracle reads
