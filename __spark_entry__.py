@@ -217,6 +217,50 @@ def q_f3_null_fill(spark, sf):  # F3 + X7: null fill + literal column
     )
 
 
+def q_rollup_counts(spark, sf):  # multi-level aggregate (rollup)
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_pivot_status(spark, sf):  # pivot (wide aggregation)
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+def q_window_running_sum(spark, sf):  # running aggregate over a window
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_event_gaps(spark, sf):  # lag(): inter-event gap per user (as-of style)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = _t(spark, sf, "events")
+    # parquet timestamps read as TIMESTAMP_NTZ, which has no direct long
+    # cast — go through unix epoch (session TZ pinned to UTC, matching
+    # DuckDB's naive epoch())
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (epoch - F.lag(epoch).over(w)).alias("gap_seconds"),
+    )
+
+
 def q_a5_hourly_rollup(spark, sf):  # A5: counts + derived stats per key/hour
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -458,6 +502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_distinct": q_a2_distinct,
         "f3_null_fill": q_f3_null_fill,
         "a5_hourly_rollup": q_a5_hourly_rollup,
+        "rollup_counts": q_rollup_counts,
+        "pivot_status": q_pivot_status,
+        "window_running_sum": q_window_running_sum,
+        "event_gaps": q_event_gaps,
         # scalar/text
         "x12_regex_replace": q_x12_regex_replace,
         "x3_serialize_text": q_x3_serialize_text,
@@ -572,6 +620,34 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT r_name AS name FROM region) GROUP BY 1
         """,
         "a2_distinct": "SELECT DISTINCT event_type FROM events",
+        "rollup_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+            FROM lineitem GROUP BY 1
+        """,
+        "window_running_sum": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                     AS running_total
+            FROM orders
+        """,
+        "event_gaps": """
+            -- floor() matches Spark's unix_timestamp truncation;
+            -- a bare ::BIGINT would round-half-even on fractional seconds
+            SELECT event_id, user_id,
+                   floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                     AS gap_seconds
+            FROM events
+        """,
         "f3_null_fill": """
             SELECT event_id, coalesce(props, '') AS props_filled, 1 AS label FROM events
         """,
