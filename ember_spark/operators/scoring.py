@@ -31,6 +31,9 @@ from ember_spark.functions.similarity import (
 
 #: feature column names in model order
 FEATURES = ["f_jaccard", "f_containment", "f_jw", "f_cos", "f_len_ratio"]
+#: the JVM-native subset (no Python anywhere) used by the cascade's
+#: cheap first stage
+FEATURES_CHEAP = ["f_jaccard", "f_containment", "f_cos", "f_len_ratio"]
 
 
 def pair_features(
@@ -43,6 +46,7 @@ def pair_features(
     emb_r: str = "emb_r",
     emb_dim: int | None = None,
     emb_normalized: bool = False,
+    include_jw: bool = True,
 ) -> DataFrame:
     """Append the matcher's feature columns to a pair table.
 
@@ -57,7 +61,7 @@ def pair_features(
     min_sz = F.least(
         F.size(F.array_distinct(F.col(tokens_l))), F.size(F.array_distinct(F.col(tokens_r)))
     ).cast("double")
-    return (
+    out = (
         pairs.withColumn("f_jaccard", token_jaccard(F.col(tokens_l), F.col(tokens_r)))
         .withColumn(
             # containment |A∩B|/min(|A|,|B|): robust to one-sided token
@@ -65,8 +69,11 @@ def pair_features(
             "f_containment",
             F.when(min_sz == 0, F.lit(0.0)).otherwise(inter / min_sz),
         )
-        .withColumn("f_jw", jaro_winkler_udf(F.col(text_l), F.col(text_r)))
-        .withColumn(
+    )
+    if include_jw:
+        out = out.withColumn("f_jw", jaro_winkler_udf(F.col(text_l), F.col(text_r)))
+    return (
+        out.withColumn(
             "f_cos",
             cosine_sim_fixed(F.col(emb_l), F.col(emb_r), emb_dim, emb_normalized)
             if emb_dim
@@ -175,3 +182,83 @@ class LogisticMatcher:
     def score_py(self, feats: list[float]) -> float:
         z = self.bias + sum(w * f for w, f in zip(self.weights, feats))
         return 1.0 / (1.0 + math.exp(-z))
+
+
+class CascadeMatcher:
+    """Two-stage matcher: a JVM-native cheap model (FEATURES_CHEAP)
+    decides confidently-matched / confidently-unmatched pairs; only the
+    uncertainty band pays for the Python-side Jaro-Winkler feature and
+    the full model. At web scale the band is a small fraction of
+    candidates, so the hot path stays (almost) entirely in codegen.
+
+    Band calibration: [low, high] are the cheap scores outside which the
+    training sample is classified perfectly (with a safety margin), so
+    cascade predictions agree with the full model wherever it matters.
+    """
+
+    def __init__(
+        self,
+        cheap: LogisticMatcher | None = None,
+        full: LogisticMatcher | None = None,
+        low: float = 0.05,
+        high: float = 0.95,
+    ):
+        self.cheap = cheap or LogisticMatcher()
+        self.full = full or LogisticMatcher()
+        self.low = float(low)
+        self.high = float(high)
+
+    def fit_pairs(self, labeled: DataFrame, label_col: str = "label", sample_limit: int = 100_000):
+        rows = (
+            labeled.select(*FEATURES, F.col(label_col).cast("double").alias("y"))
+            .limit(sample_limit)
+            .toPandas()
+        )
+        y = rows["y"].to_numpy()
+        X_full = rows[FEATURES].to_numpy()
+        X_cheap = rows[FEATURES_CHEAP].to_numpy()
+        self.full.fit(X_full, y)
+        self.full.calibrate_threshold(X_full, y)
+        self.cheap.fit(X_cheap, y)
+        self.cheap.calibrate_threshold(X_cheap, y)
+        # band = cheap-score range where train labels mix, widened by a
+        # safety margin
+        z = X_cheap @ np.array(self.cheap.weights) + self.cheap.bias
+        p = 1.0 / (1.0 + np.exp(-z))
+        pos, neg = p[y == 1], p[y == 0]
+        margin = 0.05
+        self.low = max(0.0, float(pos.min()) - margin) if len(pos) else 0.0
+        self.high = min(1.0, float(neg.max()) + margin) if len(neg) else 1.0
+        if self.low > self.high:  # separable training set: keep a thin band
+            mid = (self.low + self.high) / 2
+            self.low, self.high = mid - 0.05, mid + 0.05
+        return self
+
+    def predict_cheap(self, feats: DataFrame) -> DataFrame:
+        """Stage 1: native score + band flag (no Python)."""
+        cheap_z = F.lit(self.cheap.bias)
+        for w, name in zip(self.cheap.weights, FEATURES_CHEAP):
+            cheap_z = cheap_z + F.lit(w) * F.col(name)
+        cheap_score = F.lit(1.0) / (F.lit(1.0) + F.exp(-cheap_z))
+        return feats.withColumn("cheap_score", cheap_score).withColumn(
+            "uncertain",
+            (F.col("cheap_score") > F.lit(self.low))
+            & (F.col("cheap_score") < F.lit(self.high)),
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "cheap": json.loads(self.cheap.to_json()),
+                "full": json.loads(self.full.to_json()),
+                "low": self.low,
+                "high": self.high,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "CascadeMatcher":
+        d = json.loads(s)
+        return cls(
+            LogisticMatcher(**d["cheap"]), LogisticMatcher(**d["full"]), d["low"], d["high"]
+        )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ember_spark.functions.hashing import make_hash_embedding_udf
+from ember_spark.functions.similarity import jaro_winkler_udf
 from ember_spark.functions.text import extract_text_from_html
 from ember_spark.functions.tokenize import tokenize_auto
 from ember_spark.operators.blocking import (
@@ -28,13 +29,22 @@ from ember_spark.operators.blocking import (
     salted_repartition,
 )
 from ember_spark.operators.clustering import connected_components
-from ember_spark.operators.scoring import LogisticMatcher, pair_features
+from ember_spark.operators.scoring import (
+    FEATURES,
+    CascadeMatcher,
+    LogisticMatcher,
+    pair_features,
+)
 
 #: default matcher weights over
 #: [f_jaccard, f_containment, f_jw, f_cos, f_len_ratio] — a conservative
 #: prior; `ERPipeline.fit_matcher` retrains on labeled pairs.
 DEFAULT_WEIGHTS = [8.0, 4.0, 2.0, 2.0, 1.0]
 DEFAULT_BIAS = -9.5
+#: cheap-stage prior over [f_jaccard, f_containment, f_cos, f_len_ratio]
+#: (full prior minus the JW term, bias re-centered)
+DEFAULT_CHEAP_WEIGHTS = [8.0, 4.0, 2.0, 1.0]
+DEFAULT_CHEAP_BIAS = -8.1
 
 
 @dataclass
@@ -65,6 +75,19 @@ class PipelineConfig:
     broadcast_payload: bool = False
     matcher: LogisticMatcher = field(
         default_factory=lambda: LogisticMatcher(DEFAULT_WEIGHTS, DEFAULT_BIAS)
+    )
+    # cascade scoring: the JVM-native cheap model classifies confident
+    # pairs; only the [low, high] uncertainty band pays for the Python
+    # Jaro-Winkler + full model. At web scale the band is a few percent
+    # of candidates.
+    use_cascade: bool = True
+    cascade: CascadeMatcher = field(
+        default_factory=lambda: CascadeMatcher(
+            cheap=LogisticMatcher(DEFAULT_CHEAP_WEIGHTS, DEFAULT_CHEAP_BIAS),
+            full=LogisticMatcher(DEFAULT_WEIGHTS, DEFAULT_BIAS),
+            low=0.1,
+            high=0.9,
+        )
     )
 
 
@@ -165,12 +188,42 @@ class ERPipeline:
         # skew-key salting: spread any hot block's pairs before the
         # Python-bearing feature stage
         withpay = salted_repartition(withpay, "id_l", "id_r", parts, self.cfg.salt)
-        feats = pair_features(
-            withpay, emb_dim=self.cfg.embedding_dim, emb_normalized=True
+        if not self.cfg.use_cascade:
+            feats = pair_features(
+                withpay, emb_dim=self.cfg.embedding_dim, emb_normalized=True
+            )
+            return self.cfg.matcher.predict(feats).select(
+                "id_l", "id_r",
+                *[c for c in feats.columns if c.startswith("f_")],
+                "score", "prediction",
+            )
+
+        cm = self.cfg.cascade
+        cheap_feats = pair_features(
+            withpay,
+            emb_dim=self.cfg.embedding_dim,
+            emb_normalized=True,
+            include_jw=False,
         )
-        return self.cfg.matcher.predict(feats).select(
-            "id_l", "id_r", *[c for c in feats.columns if c.startswith("f_")], "score", "prediction"
+        # materialize stage 1 once: both cascade branches scan it
+        stage1 = cm.predict_cheap(cheap_feats).localCheckpoint()
+        out_cols = ["id_l", "id_r", *FEATURES, "score", "prediction"]
+        certain = (
+            stage1.filter(~F.col("uncertain"))
+            .withColumn("f_jw", F.lit(None).cast("double"))
+            .withColumn("score", F.col("cheap_score"))
+            .withColumn(
+                "prediction",
+                (F.col("cheap_score") > F.lit(cm.cheap.threshold)).cast("int"),
+            )
+            .select(*out_cols)
         )
+        uncertain = (
+            stage1.filter(F.col("uncertain"))
+            .withColumn("f_jw", jaro_winkler_udf(F.col("text_l"), F.col("text_r")))
+        )
+        uncertain = cm.full.predict(uncertain).select(*out_cols)
+        return certain.unionByName(uncertain)
 
     def cluster(self, scored: DataFrame, prepared: DataFrame) -> DataFrame:
         edges = scored.filter(F.col("prediction") == 1).select("id_l", "id_r")
@@ -230,4 +283,6 @@ class ERPipeline:
         )
         feats = pair_features(sides)
         self.cfg.matcher.fit_pairs(feats)
+        if self.cfg.use_cascade:
+            self.cfg.cascade.fit_pairs(feats)
         return self.cfg.matcher
