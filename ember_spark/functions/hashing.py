@@ -112,6 +112,84 @@ def hash_embedding_py(tokens: list[str] | None, dim: int = 64) -> list[float]:
     return [float(x) for x in v]
 
 
+# ------------------------------------------------------- numpy minhash
+#: affine-permutation parameters (odd multiplier => bijection mod 2^64),
+#: deterministic from blake2b; cached per (num_hashes)
+_MINHASH_PARAMS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _minhash_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    got = _MINHASH_PARAMS.get(num_hashes)
+    if got is None:
+        a = np.array([_stable_u64(f"mh_a{i}", 2) | 1 for i in range(num_hashes)], dtype=np.uint64)
+        b = np.array([_stable_u64(f"mh_b{i}", 3) for i in range(num_hashes)], dtype=np.uint64)
+        got = (a, b)
+        _MINHASH_PARAMS[num_hashes] = got
+    return got
+
+
+#: executor-lifetime token -> u64 cache for the minhash base hash
+_MH_CACHE: dict[str, int] = {}
+
+
+def _token_u64(t: str) -> int:
+    h = _MH_CACHE.get(t)
+    if h is None:
+        h = _stable_u64(t, 4)
+        if len(_MH_CACHE) < 4_000_000:
+            _MH_CACHE[t] = h
+    return h
+
+
+def minhash_signature_py(tokens: list[str] | None, num_hashes: int = 64) -> list[int]:
+    """Numpy MinHash: base token hash (cached blake2b) then `num_hashes`
+    affine permutations mod 2^64, min per permutation. Deterministic
+    across processes; signed-int64 reinterpretation for Spark LongType."""
+    if not tokens:
+        return [_MAX_LONG] * num_hashes
+    a, b = _minhash_params(num_hashes)
+    hs = np.array([_token_u64(t) for t in set(tokens)], dtype=np.uint64)
+    mixed = hs[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
+    return [int(x) for x in mixed.min(axis=0).astype(np.int64)]
+
+
+def make_prepare_udf(dim: int = 64, num_hashes: int = 64):
+    """One Arrow pass computing BOTH the hashing-trick embedding (over
+    the full token array — a matcher feature, must match training) and
+    the MinHash signature (over the hot-filtered blocking tokens) —
+    blocking then needs no per-token work at all (band keys are cheap
+    integer hashes over the signature slots)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("emb", ArrayType(FloatType())),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _prep(tokens: pd.Series, block_tokens: pd.Series) -> pd.DataFrame:
+        embs, sigs = [], []
+        for toks, btoks in zip(tokens, block_tokens):
+            tl = list(toks) if toks is not None else None
+            v = np.zeros(dim, dtype=np.float64)
+            if tl:
+                for t in tl:
+                    idx, sign = _emb_slot(t, dim)
+                    v[idx] += sign
+                n = np.linalg.norm(v)
+                if n > 0:
+                    v /= n
+            embs.append(v.astype(np.float32))
+            sigs.append(
+                minhash_signature_py(list(btoks) if btoks is not None else None, num_hashes)
+            )
+        return pd.DataFrame({"emb": embs, "sig": sigs})
+
+    return _prep
+
+
 def make_hash_embedding_udf(dim: int = 64):
     @F.pandas_udf(ArrayType(FloatType()))
     def _emb(tokens: pd.Series) -> pd.Series:

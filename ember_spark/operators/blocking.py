@@ -48,15 +48,20 @@ def cap_hot_blocks(
     )
 
 
-def _pairs_from_keys(keys: DataFrame, id_col: str, key_col: str) -> DataFrame:
+def _pairs_from_keys(
+    keys: DataFrame, id_col: str, key_col: str, materialize: bool = True
+) -> DataFrame:
     """Self equi-join on the block key, canonicalized id_l < id_r.
 
-    The input lineage is materialized once (localCheckpoint): a
-    self-join scans its input twice, and for LSH keys that input embeds
-    the full MinHash signature computation — recomputing it doubles the
-    most expensive part of blocking.
+    With materialize=True the input lineage is materialized once
+    (localCheckpoint): a self-join scans its input twice, and for LSH
+    keys derived from raw tokens that input embeds the signature
+    computation. Pass materialize=False when the upstream is already
+    cached/cheap (e.g. precomputed signature column).
     """
-    keys = keys.select(F.col(key_col), F.col(id_col)).localCheckpoint()
+    keys = keys.select(F.col(key_col), F.col(id_col))
+    if materialize:
+        keys = keys.localCheckpoint()
     left = keys.select(F.col(key_col), F.col(id_col).alias("id_l"))
     right = keys.select(F.col(key_col), F.col(id_col).alias("id_r"))
     return (
@@ -84,26 +89,36 @@ def exact_key_pairs(
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
-    tokens_col: str,
+    tokens_col: str | None = None,
     num_hashes: int = 32,
     bands: int = 16,
     rows: int = 2,
     cap: int = DEFAULT_BLOCK_CAP,
+    sig_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs over a token-array column.
+    """MinHash-LSH candidate pairs.
 
-    docs -> signature (native xxhash64 min-agg) -> band keys ->
-    posexplode -> census-capped self-join per (band, hash) bucket ->
-    canonical dedup'd (id_l, id_r).
+    Either `tokens_col` (signature computed here via native xxhash64
+    min-agg) or `sig_col` (precomputed array<long> signature, e.g. from
+    `make_prepare_udf`'s single Arrow pass) must be given. Pipeline:
+    signature -> band keys -> posexplode -> census-capped self-join per
+    band bucket -> canonical dedup'd (id_l, id_r).
 
     With bands=16, rows=2: P(collide | s) = 1-(1-s^2)^16 — ≈0.99 at
     s=0.5, ≈1-1e-7 at s=0.8. Tune per recall target (SURVEY.md §7.3).
     """
     assert bands * rows <= num_hashes
-    sig = df.filter(F.size(F.col(tokens_col)) > 0).select(
-        F.col(id_col),
-        minhash_signature(F.col(tokens_col), num_hashes).alias("sig"),
-    )
+    if sig_col is not None:
+        # empty docs carry an all-MAX sentinel signature -> drop
+        sig = df.filter(
+            F.element_at(F.col(sig_col), 1) != F.lit((1 << 63) - 1)
+        ).select(F.col(id_col), F.col(sig_col).alias("sig"))
+    else:
+        sig = df.filter(F.size(F.col(tokens_col)) > 0).select(
+            F.col(id_col),
+            minhash_signature(F.col(tokens_col), num_hashes).alias("sig"),
+        )
     banded = sig.select(
         F.col(id_col),
         F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band", "band_hash"),
@@ -114,23 +129,35 @@ def lsh_candidate_pairs(
         F.col("band_hash").alias("block_key"),
     )
     banded = cap_hot_blocks(banded, "block_key", cap)
-    return _pairs_from_keys(banded, id_col, "block_key").dropDuplicates(["id_l", "id_r"])
+    return _pairs_from_keys(banded, id_col, "block_key", materialize=materialize).dropDuplicates(
+        ["id_l", "id_r"]
+    )
 
 
 def candidate_pairs(
     df: DataFrame,
     id_col: str,
-    tokens_col: str,
+    tokens_col: str | None = None,
     exact_key_exprs: list | None = None,
     num_hashes: int = 32,
     bands: int = 16,
     rows: int = 2,
     cap: int = DEFAULT_BLOCK_CAP,
+    sig_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Multi-key blocking: union of LSH pairs and exact-key pairs,
     deduplicated on the canonical (id_l, id_r)."""
     out = lsh_candidate_pairs(
-        df, id_col, tokens_col, num_hashes=num_hashes, bands=bands, rows=rows, cap=cap
+        df,
+        id_col,
+        tokens_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        rows=rows,
+        cap=cap,
+        sig_col=sig_col,
+        materialize=materialize,
     )
     for key_expr in exact_key_exprs or []:
         out = out.unionByName(exact_key_pairs(df, id_col, key_expr, cap=cap))

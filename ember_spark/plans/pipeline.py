@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ember_spark.functions.hashing import make_hash_embedding_udf
+from ember_spark.functions.hashing import make_hash_embedding_udf, make_prepare_udf
 from ember_spark.functions.similarity import jaro_winkler_udf
 from ember_spark.functions.text import extract_text_from_html
 from ember_spark.functions.tokenize import tokenize_auto
@@ -122,22 +122,39 @@ class ERPipeline:
         (at most 1/frac tokens can exceed frac of docs) and ships as a
         broadcast literal into `array_except` — no extra join on the
         hot path.
+
+        The embedding and the MinHash signature are computed in ONE
+        Arrow pass (`make_prepare_udf`): the JVM HOF min-aggregate
+        signature is interpreted per element and was blocking's worst
+        scaler; numpy affine-permutation MinHash over cached token
+        hashes is faster and leaves blocking with integer band hashing
+        only.
         """
-        emb = make_hash_embedding_udf(self.cfg.embedding_dim)
+        prep = make_prepare_udf(self.cfg.embedding_dim, self.cfg.num_hashes)
         base = docs.select(
             "url",
             "text",
             "lang",
             tokenize_auto(F.col("text"), F.col("lang")).alias("tokens"),
         )
-        # census runs on the UDF-free projection — the embedding UDF must
+        # census runs on the UDF-free projection — the prepare UDF must
         # not be evaluated an extra time just to count token frequencies
         hot = self._hot_tokens(base)
         block_toks = (
             F.array_except(F.col("tokens"), F.lit(hot)) if hot else F.col("tokens")
         )
-        return base.withColumn("block_tokens", block_toks).withColumn(
-            "emb", emb(F.col("tokens"))
+        return (
+            base.withColumn("block_tokens", block_toks)
+            .withColumn("_prep", prep(F.col("tokens"), F.col("block_tokens")))
+            .select(
+                "url",
+                "text",
+                "lang",
+                "tokens",
+                "block_tokens",
+                F.col("_prep.emb").alias("emb"),
+                F.col("_prep.sig").alias("sig"),
+            )
         )
 
     def _hot_tokens(self, base: DataFrame) -> list[str]:
@@ -158,18 +175,24 @@ class ERPipeline:
 
     def block(self, prepared: DataFrame) -> DataFrame:
         keys = [url_path_key(F.col("url"))] if self.cfg.use_url_key else []
+        has_sig = "sig" in prepared.columns
         tokens_col = (
             "block_tokens" if "block_tokens" in prepared.columns else "tokens"
         )
         return candidate_pairs(
             prepared,
             id_col="url",
-            tokens_col=tokens_col,
+            tokens_col=None if has_sig else tokens_col,
             exact_key_exprs=keys,
             num_hashes=self.cfg.num_hashes,
             bands=self.cfg.bands,
             rows=self.cfg.rows,
             cap=self.cfg.block_cap,
+            sig_col="sig" if has_sig else None,
+            # the banded key table is (id, long) — cheap to checkpoint,
+            # and the self-join + census then never re-run the lineage
+            # (which includes the Arrow prepare UDF when unpersisted)
+            materialize=True,
         )
 
     def score(self, pairs: DataFrame, prepared: DataFrame) -> DataFrame:

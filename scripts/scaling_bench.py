@@ -19,28 +19,37 @@ from datetime import date
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, entities: int) -> dict:
-    env = dict(os.environ)
-    env["SPARK_GRAFT_CPUS"] = str(cores)
-    env["EMBER_BENCH_ENTITIES"] = str(entities)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"],
-        capture_output=True,
-        text=True,
-        env=env,
-        cwd=REPO,
-        timeout=3600,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+def run_level(cores: int, entities: int, trials: int = 1) -> dict:
+    """Best-of-N trials (min ER wall): this box shows ±30% run-to-run
+    variance (shared host); the minimum approximates the true cost
+    absent interference, applied identically to both levels."""
+    best = None
+    for _ in range(trials):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cores)
+        env["EMBER_BENCH_ENTITIES"] = str(entities)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        if best is None or r["queries"]["er_total"] < best["queries"]["er_total"]:
+            best = r
+    return best
 
 
 def main() -> None:
     entities = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    r_lo = run_level(lo, entities)
-    r_hi = run_level(hi, entities)
+    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    r_lo = run_level(lo, entities, trials)
+    r_hi = run_level(hi, entities, trials)
     t_lo = r_lo["queries"]["er_total"]
     t_hi = r_hi["queries"]["er_total"]
     pairs = r_hi["detail"]["scored_pairs"]
