@@ -416,7 +416,12 @@ def q_m7_pairwise_prf(spark, sf):  # M7: positive-class P/R/F1 aggregation
         .filter(F.col("id_l") < F.col("id_r"))
         .select(
             (F.col("y_l") == F.col("y_r")).cast("int").alias("label"),
-            (cosine_sim(F.col("e_l"), F.col("e_r")) >= 0.15).cast("int").alias("prediction"),
+            # round to 6dp before thresholding: Spark's sequential fold and
+            # DuckDB's list_dot_product may accumulate in different orders,
+            # and one knife-edge pair flips tp/fp (the ann_topk pattern)
+            (F.round(cosine_sim(F.col("e_l"), F.col("e_r")), 6) >= 0.15)
+            .cast("int")
+            .alias("prediction"),
         )
     )
     agg = pairs.agg(
@@ -433,40 +438,68 @@ def q_m7_pairwise_prf(spark, sf):  # M7: positive-class P/R/F1 aggregation
     )
 
 
-# ----- non-SQL-expressible (rows-only checks): LSH / simhash / CC / pipeline
 def q_minhash_lsh_dedup(spark, sf):
+    """Shingle MinHash-LSH near-dup, verified by exact shingle Jaccard.
+
+    Oracle-checked for EQUALITY with the brute-force pair set: with
+    bands=32, rows=2 a qualifying pair (shingle-jaccard s >= 0.5) is
+    missed with prob (1-s^2)^32 <= 1e-4, and on this corpus every
+    qualifying pair has s >= 0.9 (miss <= 3e-12) — so verified-LSH
+    output == all pairs with jaccard >= threshold.
+    """
     from ember_spark.operators.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_t(spark, sf, "documents"), threshold=0.2, shingle=3)
+    out = minhash_lsh_dedup(
+        _t(spark, sf, "documents"),
+        threshold=0.5,
+        num_hashes=64,
+        bands=32,
+        rows=2,
+        shingle=3,
+        verify_shingles=True,
+    )
+    return out.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_embedding_neardup_lsh(spark, sf):
+    """Banded hyperplane LSH near-dup (bands=16 x rows=3: recall ~0.996
+    at cosine exactly 0.5, ~1 above), verified by exact cosine — oracle
+    = brute-force pair set."""
+    from ember_spark.operators.dedup import embedding_neardup
+
+    out = embedding_neardup(
+        _t(spark, sf, "embeddings"), threshold=0.5, bands=16, rows=3
+    )
+    return out.select("id_l", "id_r", F.round("cos", 6).alias("cos"))
+
+
+def q_connected_components(spark, sf):
+    """CC over edges = same-block token-jaccard >= 0.2. The iterative
+    large-star/small-star fixpoint is oracle-checked against DuckDB's
+    WITH RECURSIVE transitive closure of the same edge set."""
+    from ember_spark.operators.clustering import connected_components
+
+    edges = q_x5_jaccard_pairs(spark, sf).filter(F.col("jaccard") >= 0.2)
+    return connected_components(edges, "id_l", "id_r")
+
+
+# ----- non-SQL-expressible (rows-only checks): simhash / ANN-LSH / pipeline
 def q_simhash_dedup(spark, sf):
     from ember_spark.operators.dedup import simhash_dedup
 
     return simhash_dedup(_t(spark, sf, "documents"), max_hamming=16)
 
 
-def q_embedding_neardup_lsh(spark, sf):
-    from ember_spark.operators.dedup import embedding_neardup
-
-    return embedding_neardup(_t(spark, sf, "embeddings"), threshold=0.5, planes=8)
-
-
 def q_ann_lsh_topk(spark, sf):
+    """Approximate top-k (banded buckets + multi-probe): rows-only by
+    design — recall < 1 is the contract; measured vs brute force in
+    scripts/ann_recall.py (table in BENCH.md)."""
     from ember_spark.operators.ann import lsh_topk
 
     emb = _t(spark, sf, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, planes=8)
-
-
-def q_connected_components(spark, sf):
-    """CC over edges = same-block token-jaccard >= 0.2 (rows-only: the
-    iterative algorithm is not single-statement SQL; correctness is
-    pytest-verified vs a union-find oracle)."""
-    from ember_spark.operators.clustering import connected_components
-
-    edges = q_x5_jaccard_pairs(spark, sf).filter(F.col("jaccard") >= 0.2)
-    return connected_components(edges, "id_l", "id_r")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, bands=8, rows=3, probe_bits=1
+    )
 
 
 def q_er_pipeline_entities(spark, sf):
@@ -556,8 +589,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
         """,
         "j3_anti_join": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            -- NOT EXISTS (not NOT IN): pins NULL semantics to the
+            -- left-anti join's (NOT IN returns zero rows if o_custkey
+            -- ever contains a NULL)
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
         """,
         "f2_having_semi": """
             SELECT o_orderkey, o_custkey FROM orders
@@ -791,14 +828,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
             FROM r WHERE rank <= 3
         """,
+        # verified-LSH == brute force (see q_minhash_lsh_dedup docstring);
+        # candidates via inverted shingle index (equi-join, no cross)
+        "minhash_lsh_dedup": f"""
+            WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(generate_series(1, len(t) - 2),
+                                                i -> array_to_string(t[i:i+2], ' '))
+                       END) AS g
+              FROM d),
+            x AS (SELECT doc_id, unnest(g) AS sh FROM s),
+            cand AS (SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+                     FROM x a JOIN x b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+            j AS (
+              SELECT c.id_l, c.id_r,
+                     len(list_intersect(sa.g, sb.g))::DOUBLE
+                       / len(list_distinct(list_concat(sa.g, sb.g))) AS jac
+              FROM cand c
+              JOIN s sa ON sa.doc_id = c.id_l
+              JOIN s sb ON sb.doc_id = c.id_r)
+            SELECT id_l, id_r, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+        """,
+        "embedding_neardup_lsh": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+                     list_dot_product(a.emb, b.emb)
+                       / (sqrt(list_dot_product(a.emb, a.emb))
+                          * sqrt(list_dot_product(b.emb, b.emb))) AS c
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT id_l, id_r, round(c, 6) AS cos FROM p WHERE c >= 0.5
+        """,
+        # transitive closure of the same edge set the Spark query feeds
+        # to large-star/small-star
+        "connected_components": f"""
+            WITH RECURSIVE
+            d AS (SELECT doc_id, lang, source, {toks} AS t FROM documents),
+            pr AS (
+              SELECT a.doc_id AS id_l, b.doc_id AS id_r
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+              WHERE round(len(list_intersect(a.t, b.t))::DOUBLE
+                          / len(list_distinct(list_concat(a.t, b.t))), 6) >= 0.2),
+            edges AS (SELECT id_l AS a, id_r AS b FROM pr
+                      UNION ALL SELECT id_r, id_l FROM pr),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+            SELECT id, min(comp) AS component FROM reach GROUP BY id
+        """,
         "m7_pairwise_prf": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
                        FROM embeddings WHERE vec_id < 200),
             p AS (
               SELECT (a.label = b.label)::INT AS label,
-                     (list_dot_product(a.emb, b.emb)
+                     (round(list_dot_product(a.emb, b.emb)
                        / (sqrt(list_dot_product(a.emb, a.emb))
-                          * sqrt(list_dot_product(b.emb, b.emb))) >= 0.15)::INT
+                          * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.15)::INT
                        AS prediction
               FROM e a JOIN e b ON a.vec_id < b.vec_id),
             agg AS (

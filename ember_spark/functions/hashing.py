@@ -190,6 +190,102 @@ def make_prepare_udf(dim: int = 64, num_hashes: int = 64):
     return _prep
 
 
+# ------------------------------------------------- hyperplane band LSH
+#: deterministic pseudo-random hyperplane coefficient matrices, cached
+#: per (planes, dim) — blake2b-derived, no stored model
+_PLANE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def plane_matrix(planes: int, dim: int) -> np.ndarray:
+    """(dim, planes) deterministic hyperplane coefficients in [-1, 1]."""
+    got = _PLANE_CACHE.get((planes, dim))
+    if got is None:
+        flat = np.array(
+            [
+                struct.unpack(
+                    "<q",
+                    hashlib.blake2b(struct.pack("<qq", p, i), digest_size=8).digest(),
+                )[0]
+                / float(1 << 63)
+                for p in range(planes)
+                for i in range(dim)
+            ],
+            dtype=np.float64,
+        )
+        got = flat.reshape(planes, dim).T  # (dim, planes)
+        _PLANE_CACHE[(planes, dim)] = got
+    return got
+
+
+def _probe_masks(rows: int, probe_bits: int) -> list[int]:
+    """All XOR masks over `rows` bits with 0..probe_bits bits set — the
+    full hamming ball (multi-probe), not just single-bit flips."""
+    from itertools import combinations
+
+    masks = [0]
+    for k in range(1, min(probe_bits, rows) + 1):
+        masks += [sum(1 << b for b in combo) for combo in combinations(range(rows), k)]
+    return masks
+
+
+def hyperplane_band_keys_py(
+    embs: np.ndarray, bands: int, rows: int, probe_bits: int = 0
+) -> list[list[int]]:
+    """Banded random-hyperplane signature: `bands` OR'd tables of `rows`
+    sign bits each (the MinHash-band structure applied to hyperplane
+    LSH). A pair with cosine c agrees per bit with p = 1 - acos(c)/pi,
+    so P(some band collides) = 1-(1-p^rows)^bands — e.g. 0.996 at
+    c=0.5 with bands=16, rows=3, vs ~4% for a single AND-of-8 signature
+    (the round-1 recall hole). Key layout: (band_index << rows) | packed
+    bits — collision-free across bands, no hash needed.
+
+    With probe_bits > 0 each band also emits keys for every bit pattern
+    within that hamming distance (query-side multi-probe).
+    """
+    planes = bands * rows
+    m = plane_matrix(planes, embs.shape[1])
+    bits = (embs @ m) >= 0  # (n, planes)
+    vals = np.zeros((embs.shape[0], bands), dtype=np.int64)
+    for b in range(bands):
+        for j in range(rows):
+            vals[:, b] |= bits[:, b * rows + j].astype(np.int64) << j
+    masks = _probe_masks(rows, probe_bits)
+    out = []
+    for row_vals in vals:
+        keys = []
+        for b in range(bands):
+            base = b << rows
+            v = int(row_vals[b])
+            keys.extend(base | (v ^ mask) for mask in masks)
+        out.append(keys)
+    return out
+
+
+def make_hyperplane_bands_udf(dim: int, bands: int, rows: int, probe_bits: int = 0):
+    """Arrow-batched UDF: embedding -> array<long> of band bucket keys.
+
+    One numpy matmul per batch (vectorized over all rows x planes) —
+    the scale path for banded hyperplane LSH; a static element_at
+    expansion of bands*rows planes would blow past the codegen limits
+    and fall back to interpreted evaluation."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _keys(emb: pd.Series) -> pd.Series:
+        n = len(emb)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        arr = np.zeros((n, dim), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, e in enumerate(emb):
+            if e is not None and len(e) == dim:
+                arr[i] = np.asarray(e, dtype=np.float64)
+                ok[i] = True
+        keys = hyperplane_band_keys_py(arr, bands, rows, probe_bits)
+        return pd.Series([k if ok[i] else None for i, k in enumerate(keys)])
+
+    return _keys
+
+
 def make_hash_embedding_udf(dim: int = 64):
     @F.pandas_udf(ArrayType(FloatType()))
     def _emb(tokens: pd.Series) -> pd.Series:

@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ember_spark.functions.hashing import make_hyperplane_bands_udf
 from ember_spark.functions.similarity import cosine_sim
-from ember_spark.operators.dedup import _hyperplane_signature
 
 
 def brute_force_topk(
@@ -52,31 +52,30 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    planes: int = 10,
+    bands: int = 8,
+    rows: int = 3,
     probe_bits: int = 1,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share a hyperplane-signature bucket
-    with the query (multi-probe: also buckets within `probe_bits` bit
-    flips). Recall grows with probes; cost stays ~bucket-sized."""
+    """Approximate top-k via BANDED hyperplane LSH: the corpus emits
+    `bands` bucket keys of `rows` sign bits each; a query probes every
+    band bucket within hamming distance `probe_bits` of its own bits
+    (the full combination ball, not just single-bit flips). Candidates
+    share >=1 probed bucket; exact cosine re-ranks. Recall grows with
+    bands and probe_bits; per-query cost stays ~bucket-sized."""
     if dim is None:
         dim = int(corpus.select(F.size(F.col(emb_col)).alias("d")).first()["d"])
+    corpus_keys = make_hyperplane_bands_udf(dim, bands, rows)
+    query_keys = make_hyperplane_bands_udf(dim, bands, rows, probe_bits=probe_bits)
     sig_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
-        _hyperplane_signature(F.col(emb_col), planes, dim).alias("bucket"),
+        F.explode(corpus_keys(F.col(emb_col))).alias("bucket"),
     )
-    q_sig = queries.select(
+    q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
-        _hyperplane_signature(F.col(emb_col), planes, dim).alias("sig"),
-    )
-    # multi-probe: original signature + single-bit flips
-    probes = [F.col("sig")]
-    if probe_bits >= 1:
-        probes += [F.col("sig").bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
-    q = q_sig.select(
-        "query_id", "q_emb", F.explode(F.array(*probes)).alias("bucket")
+        F.explode(query_keys(F.col(emb_col))).alias("bucket"),
     ).dropDuplicates(["query_id", "bucket"])
     scored = (
         q.join(sig_c, "bucket")

@@ -11,11 +11,11 @@ columns the predicate needs (Catalyst prunes the scan accordingly).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ember_spark.functions.hashing import simhash64_udf
-from ember_spark.functions.similarity import cosine_sim, token_jaccard
+from ember_spark.functions.hashing import make_hyperplane_bands_udf, simhash64_udf
+from ember_spark.functions.similarity import cosine_sim, cosine_sim_fixed, token_jaccard
 from ember_spark.functions.text import normalize_text
 from ember_spark.functions.tokenize import char_ngrams, tokenize_ws
 from ember_spark.operators.blocking import DEFAULT_BLOCK_CAP, cap_hot_blocks, lsh_candidate_pairs
@@ -58,10 +58,24 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     use_words: bool = True,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard within an exact block
     (brute-force inside blocks — the small-block/oracle-checkable path;
-    use minhash_lsh_dedup for unblocked web scale)."""
+    use minhash_lsh_dedup for unblocked web scale).
+
+    `block_col` is required: without it every row lands in one block and
+    the self-join degenerates to an all-pairs cartesian — a silent
+    O(n^2) at corpus scale. Tiny-fixture/oracle callers may opt in
+    explicitly with allow_unblocked=True.
+    """
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is an all-pairs cartesian; "
+            "pass block_col=... , or use minhash_lsh_dedup for unblocked "
+            "near-dup at scale, or opt in with allow_unblocked=True on "
+            "small fixtures"
+        )
     toks = tokenize_ws(F.col(text_col))
     if use_words:
         grams = word_shingles(toks, n)
@@ -105,19 +119,26 @@ def minhash_lsh_dedup(
     rows: int = 2,
     cap: int = DEFAULT_BLOCK_CAP,
     shingle: int = 1,
+    verify_shingles: bool = False,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified by exact token Jaccard ≥
-    threshold (shingle→minhash→band→bucket-join→verify).
+    """MinHash+LSH near-dup pairs, verified by exact Jaccard ≥ threshold
+    (shingle→minhash→band→bucket-join→verify).
 
     shingle>1 minhashes word n-gram shingles instead of unigrams —
     essential on corpora with a small shared vocabulary, where unigram
-    MinHash collides almost everywhere; the verify step still uses
-    unigram Jaccard (the threshold's semantics).
+    MinHash collides almost everywhere. With verify_shingles=True the
+    verify step uses the SAME shingle sets the signature hashes (the
+    standard web-dedup semantics: the threshold applies to the shingled
+    representation, and LSH recall is then provable from (bands, rows));
+    the default keeps unigram-Jaccard verification.
     """
     tok_expr = tokenize_ws(F.col(text_col))
     sig_expr = word_shingles(tok_expr, shingle) if shingle > 1 else tok_expr
+    verify_expr = sig_expr if verify_shingles else tok_expr
     toks = df.select(
-        F.col(id_col).alias("id"), tok_expr.alias("tokens"), sig_expr.alias("sig_tokens")
+        F.col(id_col).alias("id"),
+        F.array_distinct(verify_expr).alias("tokens"),
+        sig_expr.alias("sig_tokens"),
     )
     cands = lsh_candidate_pairs(
         toks, "id", "sig_tokens", num_hashes=num_hashes, bands=bands, rows=rows, cap=cap
@@ -189,19 +210,25 @@ def embedding_neardup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.9,
-    planes: int = 12,
+    bands: int = 16,
+    rows: int = 3,
     cap: int = DEFAULT_BLOCK_CAP,
     brute_force: bool = False,
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
-    Scale path: random-hyperplane LSH — sign pattern over `planes`
-    deterministic pseudo-hyperplanes (hash-derived, no stored model)
-    buckets vectors; verify cosine ≥ threshold inside buckets. With
-    brute_force=True skips bucketing (oracle-checkable baseline).
-    `dim` (inferred from the first row when None) sizes the static
-    signature expansion.
+    Scale path: BANDED random-hyperplane LSH — `bands` OR'd tables of
+    `rows` sign bits each (same structure as the MinHash bands), so a
+    pair only needs ONE band of bits to agree. A single AND-of-all-
+    planes signature (round-1 design) had ~4% recall at cosine 0.5;
+    bands=16 x rows=3 gives ~0.996 there and ~1-3e-8 at 0.7+
+    (p_bit = 1 - acos(c)/pi, P = 1-(1-p^rows)^bands). Candidates are
+    verified by exact cosine >= threshold, so precision is exact.
+
+    With brute_force=True skips bucketing (the oracle-checkable
+    baseline). `dim` (inferred from the first row when None) sizes the
+    numpy plane matrix.
     """
     if brute_force:
         base = emb_df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
@@ -216,58 +243,31 @@ def embedding_neardup(
         )
     if dim is None:
         dim = int(emb_df.select(F.size(F.col(emb_col)).alias("d")).first()["d"])
-    sig = _hyperplane_signature(F.col(emb_col), planes, dim)
-    base = emb_df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"), sig.alias("block_key"))
-    base = cap_hot_blocks(base, "block_key", cap)
-    l = base.select("block_key", F.col("id").alias("id_l"), F.col("e").alias("e_l"))
-    r = base.select("block_key", F.col("id").alias("id_r"), F.col("e").alias("e_r"))
-    return (
-        l.join(r, "block_key")
+    keys_udf = make_hyperplane_bands_udf(dim, bands, rows)
+    base = emb_df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+    # (id, key) only through the explode + self-join: the embedding
+    # payload re-attaches per verified candidate, keeping the banded
+    # shuffle narrow. localCheckpoint so the Arrow matmul runs once,
+    # not once per self-join side.
+    banded = (
+        base.select("id", F.explode(keys_udf(F.col("e"))).alias("block_key"))
+        .localCheckpoint()
+    )
+    banded = cap_hot_blocks(banded, "block_key", cap)
+    left = banded.select("block_key", F.col("id").alias("id_l"))
+    right = banded.select("block_key", F.col("id").alias("id_r"))
+    cands = (
+        left.join(right, "block_key")
         .filter(F.col("id_l") < F.col("id_r"))
-        .withColumn("cos", cosine_sim(F.col("e_l"), F.col("e_r")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_l", "id_r", "cos")
+        .select("id_l", "id_r")
         .dropDuplicates(["id_l", "id_r"])
     )
-
-
-def _plane_coefficients(planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplane coefficients in [-1, 1]
-    (blake2b of (plane, dim-index); no stored model)."""
-    import hashlib
-    import struct
-
-    coefs = []
-    for p in range(planes):
-        row = []
-        for i in range(dim):
-            h = hashlib.blake2b(struct.pack("<qq", p, i), digest_size=8).digest()
-            (u,) = struct.unpack("<q", h)
-            row.append(u / float(1 << 63))
-        coefs.append(row)
-    return coefs
-
-
-def _hyperplane_signature(emb: Column, planes: int, dim: int = 64) -> Column:
-    """Sign pattern of `planes` deterministic hyperplanes as one long.
-
-    Coefficients are computed driver-side and folded into the plan as
-    literals; each plane's dot product is a static element_at expansion
-    (codegen-friendly — HOF aggregate is interpreted and anti-scales,
-    see cosine_sim_fixed).
-    """
-    coefs = _plane_coefficients(planes, dim)
-    bits = []
-    for p in range(planes):
-        terms = [
-            F.element_at(emb, i + 1).cast("double") * F.lit(coefs[p][i])
-            for i in range(dim)
-        ]
-        dot = terms[0]
-        for t in terms[1:]:
-            dot = dot + t
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    l = base.select(F.col("id").alias("id_l"), F.col("e").alias("e_l"))
+    r = base.select(F.col("id").alias("id_r"), F.col("e").alias("e_r"))
+    return (
+        cands.join(l, "id_l")
+        .join(r, "id_r")
+        .withColumn("cos", cosine_sim_fixed(F.col("e_l"), F.col("e_r"), dim))
+        .filter(F.col("cos") >= threshold)
+        .select("id_l", "id_r", "cos")
+    )

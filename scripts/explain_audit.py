@@ -67,9 +67,14 @@ def main() -> int:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     ok &= check("wholestage_codegen", "WholeStageCodegen" in p and "Found 0" not in p)
 
-    # lsh dedup: no cartesian anywhere
+    # lsh dedup: no cartesian anywhere (every public near-dup API must
+    # block; the unblocked ngram path now raises instead of degrading)
     p = plan_of(qs["minhash_lsh_dedup"](spark, SF))
     ok &= check("no_cartesian_in_lsh", "CartesianProduct" not in p)
+    p = plan_of(qs["embedding_neardup_lsh"](spark, SF))
+    ok &= check("no_cartesian_in_embedding_lsh", "CartesianProduct" not in p)
+    p = plan_of(qs["ann_lsh_topk"](spark, SF))
+    ok &= check("no_cartesian_in_ann_lsh", "CartesianProduct" not in p)
 
     print("ALL OK" if ok else "AUDIT FAILURES")
     return 0 if ok else 1

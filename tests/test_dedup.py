@@ -46,10 +46,20 @@ def test_minhash_lsh_dedup(spark, docs):
 
 
 def test_ngram_jaccard_pairs(spark, docs):
-    pairs = {(r["id_l"], r["id_r"]) for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    pairs = {
+        (r["id_l"], r["id_r"])
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5, allow_unblocked=True).collect()
+    }
     assert (1, 2) in pairs
     assert (1, 3) in pairs
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs_requires_block(spark, docs):
+    """The unblocked path is a hidden cartesian — it must not be the
+    default (VERDICT r1 item 6)."""
+    with pytest.raises(ValueError, match="cartesian"):
+        ngram_jaccard_pairs(docs, n=2, threshold=0.5)
 
 
 def test_simhash_dedup(spark, docs):
@@ -82,10 +92,50 @@ def embs(spark):
 def test_embedding_neardup_brute_vs_lsh(spark, embs):
     brute = {(r["id_l"], r["id_r"]) for r in embedding_neardup(embs, threshold=0.95, brute_force=True).collect()}
     assert brute == {(i, i + 100) for i in range(5)}
-    lsh = {(r["id_l"], r["id_r"]) for r in embedding_neardup(embs, threshold=0.95, planes=8).collect()}
-    # LSH is approximate-recall, exact-precision: subset of brute, mostly found
-    assert lsh <= brute
-    assert len(lsh) >= 3
+    lsh = {(r["id_l"], r["id_r"]) for r in embedding_neardup(embs, threshold=0.95).collect()}
+    # banded LSH: exact precision AND near-1 recall (miss prob per pair
+    # ~(1-p^rows)^bands ~ 1e-12 at cos 0.99 with bands=16, rows=3)
+    assert lsh == brute
+
+
+@pytest.fixture(scope="module")
+def embs_moderate(spark):
+    """Pairs planted at MODERATE cosine (~0.5-0.75) — the regime where
+    the round-1 single-signature LSH had ~4% recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=32)
+        v /= np.linalg.norm(v)
+        # target cosine in [0.55, 0.75]: w = c*v + sqrt(1-c^2)*orthogonal
+        c = 0.55 + 0.2 * rng.random()
+        u = rng.normal(size=32)
+        u -= (u @ v) * v
+        u /= np.linalg.norm(u)
+        w = c * v + np.sqrt(1 - c * c) * u
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in w]))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+                               "vec_id long, embedding array<float>")
+    df.cache().count()
+    return df
+
+
+def test_embedding_neardup_recall_at_moderate_threshold(spark, embs_moderate):
+    """Brute-vs-LSH parity at threshold 0.5 (VERDICT r1 item 3): banded
+    hyperplane LSH must keep near-1 recall where AND-of-all-planes
+    collapsed to ~4%."""
+    brute = {(r["id_l"], r["id_r"])
+             for r in embedding_neardup(embs_moderate, threshold=0.5, brute_force=True).collect()}
+    planted = {(i, i + 1000) for i in range(60)}
+    assert planted <= brute
+    lsh = {(r["id_l"], r["id_r"])
+           for r in embedding_neardup(embs_moderate, threshold=0.5, bands=16, rows=3).collect()}
+    assert lsh <= brute  # verify step keeps precision exact
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.95, f"recall {recall} over {len(brute)} true pairs"
 
 
 def test_brute_force_topk(spark, embs):
@@ -95,7 +145,18 @@ def test_brute_force_topk(spark, embs):
 
 
 def test_lsh_topk_mostly_agrees(spark, embs):
-    res = lsh_topk(embs, embs.filter("vec_id < 5"), k=1, planes=8)
+    res = lsh_topk(embs, embs.filter("vec_id < 5"), k=1, bands=8, rows=3, probe_bits=1)
     got = {r["query_id"]: r["neighbor_id"] for r in res.collect()}
     hits = sum(1 for q, n in got.items() if n == q + 100)
-    assert hits >= 3
+    assert hits >= 4
+
+
+def test_probe_masks_full_hamming_ball(spark):
+    """probe_bits=2 must generate all <=2-bit flips (ADVICE r1), not
+    just single-bit ones."""
+    from ember_spark.functions.hashing import _probe_masks
+
+    masks = _probe_masks(rows=4, probe_bits=2)
+    assert sorted(masks) == sorted(
+        [0, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12]
+    )  # C(4,0)+C(4,1)+C(4,2) = 11 masks
