@@ -76,6 +76,7 @@ def exact_key_pairs(
     id_col: str,
     key_expr,
     cap: int = DEFAULT_BLOCK_CAP,
+    dedup: bool = True,
 ) -> DataFrame:
     """Candidate pairs sharing an exact block key (e.g. normalized
     domain). `key_expr` is a Column producing the key."""
@@ -83,7 +84,8 @@ def exact_key_pairs(
         F.col("block_key").isNotNull()
     )
     keys = cap_hot_blocks(keys, "block_key", cap)
-    return _pairs_from_keys(keys, id_col, "block_key").dropDuplicates(["id_l", "id_r"])
+    out = _pairs_from_keys(keys, id_col, "block_key")
+    return out.dropDuplicates(["id_l", "id_r"]) if dedup else out
 
 
 def lsh_candidate_pairs(
@@ -96,6 +98,7 @@ def lsh_candidate_pairs(
     cap: int = DEFAULT_BLOCK_CAP,
     sig_col: str | None = None,
     materialize: bool = True,
+    dedup: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs.
 
@@ -129,9 +132,10 @@ def lsh_candidate_pairs(
         F.col("band_hash").alias("block_key"),
     )
     banded = cap_hot_blocks(banded, "block_key", cap)
-    return _pairs_from_keys(banded, id_col, "block_key", materialize=materialize).dropDuplicates(
-        ["id_l", "id_r"]
-    )
+    out = _pairs_from_keys(banded, id_col, "block_key", materialize=materialize)
+    # callers that union more key sources (candidate_pairs) dedup ONCE
+    # at the end — a second full shuffle of the biggest table otherwise
+    return out.dropDuplicates(["id_l", "id_r"]) if dedup else out
 
 
 def candidate_pairs(
@@ -158,9 +162,12 @@ def candidate_pairs(
         cap=cap,
         sig_col=sig_col,
         materialize=materialize,
+        dedup=False,
     )
     for key_expr in exact_key_exprs or []:
-        out = out.unionByName(exact_key_pairs(df, id_col, key_expr, cap=cap))
+        out = out.unionByName(
+            exact_key_pairs(df, id_col, key_expr, cap=cap, dedup=False)
+        )
     return out.dropDuplicates(["id_l", "id_r"])
 
 

@@ -47,6 +47,8 @@ def pair_features(
     emb_dim: int | None = None,
     emb_normalized: bool = False,
     include_jw: bool = True,
+    len_l: str | None = None,
+    len_r: str | None = None,
 ) -> DataFrame:
     """Append the matcher's feature columns to a pair table.
 
@@ -54,9 +56,15 @@ def pair_features(
     UDF (the only Python on the hot path, per the M3 contract). When
     `emb_dim` is known, cosine uses the codegen-friendly static
     expansion instead of HOF `aggregate` (see cosine_sim_fixed).
+
+    `len_l`/`len_r` name precomputed FULL-text length columns for
+    f_len_ratio. Callers that truncate the text payload (the scoring
+    stage ships only the JW window) must pass them, or inference would
+    compute f_len_ratio on capped lengths while training used full
+    lengths — a train/serve feature skew.
     """
-    len_l = F.length(F.col(text_l)).cast("double")
-    len_r = F.length(F.col(text_r)).cast("double")
+    len_l = (F.col(len_l) if len_l else F.length(F.col(text_l))).cast("double")
+    len_r = (F.col(len_r) if len_r else F.length(F.col(text_r))).cast("double")
     inter = F.size(F.array_intersect(F.col(tokens_l), F.col(tokens_r))).cast("double")
     min_sz = F.least(
         F.size(F.array_distinct(F.col(tokens_l))), F.size(F.array_distinct(F.col(tokens_r)))

@@ -31,6 +31,7 @@ from ember_spark.operators.blocking import (
 from ember_spark.operators.clustering import connected_components
 from ember_spark.operators.scoring import (
     FEATURES,
+    FEATURES_CHEAP,
     CascadeMatcher,
     LogisticMatcher,
     pair_features,
@@ -160,18 +161,33 @@ class ERPipeline:
     def _hot_tokens(self, base: DataFrame) -> list[str]:
         if not self.cfg.hot_token_df_frac:
             return []
-        n_docs = base.count()
-        min_df = max(int(n_docs * self.cfg.hot_token_df_frac), 2)
-        hot_rows = (
-            base.select(F.explode(F.array_distinct("tokens")).alias("tok"))
+        # ONE job computes the doc count AND the df census: a null
+        # marker element is prepended to every doc's distinct-token
+        # array, so the null group's count is exactly n_docs — the
+        # separate count() pass (a full extra tokenize scan) is gone.
+        census = (
+            base.select(
+                F.explode(
+                    F.concat(
+                        F.array(F.lit(None).cast("string")),
+                        F.coalesce(F.array_distinct("tokens"), F.array()),
+                    )
+                ).alias("tok")
+            )
             .groupBy("tok")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") >= min_df)
-            .orderBy(F.col("df").desc(), F.col("tok").asc())
-            .limit(self.cfg.hot_token_max)
+        )
+        # the null marker has df = n_docs >= any token's df, so it is
+        # always inside the top (hot_token_max + 1) slice; nulls-first
+        # tie-break pins it ahead of any token present in every doc
+        top = (
+            census.orderBy(F.col("df").desc(), F.col("tok").asc_nulls_first())
+            .limit(self.cfg.hot_token_max + 1)
             .collect()
         )
-        return [r["tok"] for r in hot_rows]
+        n_docs = next((r["df"] for r in top if r["tok"] is None), 0)
+        min_df = max(int(n_docs * self.cfg.hot_token_df_frac), 2)
+        return [r["tok"] for r in top if r["tok"] is not None and r["df"] >= min_df]
 
     def block(self, prepared: DataFrame) -> DataFrame:
         keys = [url_path_key(F.col("url"))] if self.cfg.use_url_key else []
@@ -200,12 +216,18 @@ class ERPipeline:
             self.spark.conf.get("spark.sql.shuffle.partitions")
         )
         # ship only what the features read: text truncated to the JW
-        # window — halves the pair-shuffle width
+        # window — halves the pair-shuffle width. text_len carries the
+        # FULL pre-truncation length so f_len_ratio sees the same
+        # distribution at inference as at training (no train/serve skew)
         slim = prepared.select(
-            "url", F.substring("text", 1, 80).alias("text"), "tokens", "emb"
+            "url",
+            F.substring("text", 1, 80).alias("text"),
+            F.length("text").cast("double").alias("text_len"),
+            "tokens",
+            "emb",
         )
         withpay = attach_pair_payload(
-            pairs, slim, "url", ["text", "tokens", "emb"],
+            pairs, slim, "url", ["text", "text_len", "tokens", "emb"],
             broadcast_payload=self.cfg.broadcast_payload,
         )
         # skew-key salting: spread any hot block's pairs before the
@@ -213,7 +235,8 @@ class ERPipeline:
         withpay = salted_repartition(withpay, "id_l", "id_r", parts, self.cfg.salt)
         if not self.cfg.use_cascade:
             feats = pair_features(
-                withpay, emb_dim=self.cfg.embedding_dim, emb_normalized=True
+                withpay, emb_dim=self.cfg.embedding_dim, emb_normalized=True,
+                len_l="text_len_l", len_r="text_len_r",
             )
             return self.cfg.matcher.predict(feats).select(
                 "id_l", "id_r",
@@ -227,9 +250,21 @@ class ERPipeline:
             emb_dim=self.cfg.embedding_dim,
             emb_normalized=True,
             include_jw=False,
+            len_l="text_len_l", len_r="text_len_r",
         )
-        # materialize stage 1 once: both cascade branches scan it
-        stage1 = cm.predict_cheap(cheap_feats).localCheckpoint()
+        # materialize stage 1 once (both cascade branches scan it), but
+        # SLIM: ids + the JW text window + cheap features only. The
+        # token arrays and embeddings are spent after the cheap features
+        # — carrying them through the checkpoint made its write the
+        # memory-bandwidth bottleneck of the whole scoring stage
+        stage1 = (
+            cm.predict_cheap(cheap_feats)
+            .select(
+                "id_l", "id_r", "text_l", "text_r",
+                *FEATURES_CHEAP, "cheap_score", "uncertain",
+            )
+            .localCheckpoint()
+        )
         out_cols = ["id_l", "id_r", *FEATURES, "score", "prediction"]
         certain = (
             stage1.filter(~F.col("uncertain"))
@@ -261,18 +296,25 @@ class ERPipeline:
         )
 
     # ------------------------------------------------------------- runs
-    def run(self, pages: DataFrame) -> dict[str, DataFrame]:
+    def run(self, pages: DataFrame, input_fp: str | None = None) -> dict[str, DataFrame]:
         """Full pipeline; returns every stage's DataFrame. With a
-        manifest, each stage checkpoints and resumes idempotently."""
-        cfg_fp = (
-            f"h{self.cfg.num_hashes}b{self.cfg.bands}r{self.cfg.rows}"
-            f"c{self.cfg.block_cap}d{self.cfg.embedding_dim}"
-        )
+        manifest, each stage checkpoints and resumes idempotently.
+
+        Stage fingerprints CHAIN: fp(stage_k) = h(fp(stage_{k-1}) | name),
+        seeded with the config AND an input fingerprint — rerunning at
+        the same checkpoint root with a different input invalidates
+        every downstream checkpoint instead of silently serving stale
+        stage outputs. `input_fp` defaults to the semantic hash of the
+        input plan (which covers source paths/plan shape, not file
+        contents — pass an explicit content fingerprint, e.g. an
+        Iceberg snapshot id, when inputs mutate in place).
+        """
+        fps = self.stage_fingerprints(pages, input_fp)
 
         def stage(name: str, build):
             if self.manifest is None:
                 return build()
-            return self.manifest.run_stage(name, cfg_fp, build)
+            return self.manifest.run_stage(name, fps[name], build)
 
         docs = stage("extract", lambda: self.extract(pages))
         prepared = stage("prepare", lambda: self.prepare(docs))
@@ -286,6 +328,33 @@ class ERPipeline:
             "scored": scored,
             "entities": entities,
         }
+
+    #: pipeline stage order (fingerprints chain in this order)
+    STAGES = ["extract", "prepare", "block", "score", "entities"]
+
+    def stage_fingerprints(
+        self, pages: DataFrame | None = None, input_fp: str | None = None
+    ) -> dict[str, str]:
+        """Chained per-stage fingerprints seeded by (config, input)."""
+        import hashlib
+
+        cfg_fp = (
+            f"h{self.cfg.num_hashes}b{self.cfg.bands}r{self.cfg.rows}"
+            f"c{self.cfg.block_cap}d{self.cfg.embedding_dim}"
+        )
+        if input_fp is None:
+            try:
+                input_fp = f"sem{pages.semanticHash()}" if pages is not None else "none"
+            except Exception:
+                input_fp = "unknown"
+        chain = hashlib.blake2b(
+            f"{cfg_fp}|in:{input_fp}".encode(), digest_size=8
+        ).hexdigest()
+        fps = {}
+        for name in self.STAGES:
+            chain = hashlib.blake2b(f"{chain}|{name}".encode(), digest_size=8).hexdigest()
+            fps[name] = chain
+        return fps
 
     def fit_matcher(self, labeled_pairs: DataFrame) -> LogisticMatcher:
         """Train the broadcast matcher on an ember-shaped labeled pair

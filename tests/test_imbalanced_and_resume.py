@@ -59,13 +59,10 @@ def test_pipeline_partial_resume(spark, tmp_path):
 
     m1 = StageManifest(spark, root)
     pipe1 = ERPipeline(spark, manifest=m1)
-    cfg_fp = (
-        f"h{pipe1.cfg.num_hashes}b{pipe1.cfg.bands}r{pipe1.cfg.rows}"
-        f"c{pipe1.cfg.block_cap}d{pipe1.cfg.embedding_dim}"
-    )
-    docs = m1.run_stage("extract", cfg_fp, lambda: pipe1.extract(pages))
-    prepared = m1.run_stage("prepare", cfg_fp, lambda: pipe1.prepare(docs))
-    m1.run_stage("block", cfg_fp, lambda: pipe1.block(prepared))
+    fps = pipe1.stage_fingerprints(pages)
+    docs = m1.run_stage("extract", fps["extract"], lambda: pipe1.extract(pages))
+    prepared = m1.run_stage("prepare", fps["prepare"], lambda: pipe1.prepare(docs))
+    m1.run_stage("block", fps["block"], lambda: pipe1.block(prepared))
     assert len(m1._read_manifest()) == 3
 
     pipe2 = ERPipeline(spark, manifest=StageManifest(spark, root))
@@ -75,3 +72,15 @@ def test_pipeline_partial_resume(spark, tmp_path):
     assert sorted(e["stage"] for e in entries) == sorted(
         ["extract", "prepare", "block", "score", "entities"]
     )
+
+
+def test_pipeline_resume_invalidated_by_new_input(spark, tmp_path):
+    """Same checkpoint root + same config but DIFFERENT input must not
+    serve stale stage outputs (fingerprints chain from the input fp)."""
+    pages1, _ = split_labels(generate_pages(spark, 40, seed=11))
+    pages2, _ = split_labels(generate_pages(spark, 70, seed=12))
+    root = str(tmp_path / "ckpt3")
+    ERPipeline(spark, manifest=StageManifest(spark, root)).run(pages1, input_fp="in1")
+    out = ERPipeline(spark, manifest=StageManifest(spark, root)).run(pages2, input_fp="in2")
+    # every url of the NEW input is present — nothing stale was reused
+    assert out["entities"].count() == pages2.count()

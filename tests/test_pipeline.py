@@ -44,7 +44,7 @@ def test_pipeline_recovers_planted_clusters(spark, corpus):
     pipe = ERPipeline(spark)
     out = pipe.run(pages.drop("text"))  # exercise the html-extraction path
     ents = out["entities"]
-    truth = (
+    truth_pos = (
         labels.alias("a")
         .join(labels.alias("b"), F.col("a.cluster_id") == F.col("b.cluster_id"))
         .filter(F.col("a.url") < F.col("b.url"))
@@ -54,6 +54,26 @@ def test_pipeline_recovers_planted_clusters(spark, corpus):
             F.lit(1).alias("label"),
         )
     )
+    # cross-cluster NEGATIVES (label=0) so false merges are penalized —
+    # a degenerate one-entity clustering must fail this gate. Sibling
+    # clusters (+1, same token family) are the hard negatives; +37 the
+    # random ones.
+    truth_neg = (
+        labels.alias("a")
+        .join(
+            labels.alias("b"),
+            (F.col("b.cluster_id") == F.col("a.cluster_id") + 1)
+            | (F.col("b.cluster_id") == F.col("a.cluster_id") + 37),
+        )
+        .select(
+            F.least(F.col("a.url"), F.col("b.url")).alias("id_l"),
+            F.greatest(F.col("a.url"), F.col("b.url")).alias("id_r"),
+            F.lit(0).alias("label"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    truth = truth_pos.unionByName(truth_neg)
+    assert truth_neg.count() > 1000  # the gate is actually two-sided
     m = cluster_pairwise_prf(
         ents.withColumnRenamed("url", "id").withColumnRenamed("entity_id", "component"),
         truth,
