@@ -483,6 +483,32 @@ def q_connected_components(spark, sf):
     return connected_components(edges, "id_l", "id_r")
 
 
+def q_benchmark_pairs(spark, sf):
+    """Distributed labeled-benchmark construction (the reference's
+    build_ali_dataset dataflow): hard/random positives per cluster,
+    hard negatives from top-similar clusters (inverted-index profile
+    jaccard), random negatives from md5 buckets — all windows + keyed
+    joins, fully oracle-checked against the same dataflow in SQL.
+    Clusters here are synthetic (doc_id // 5) — the op takes ground
+    truth clusters as input, like the reference."""
+    from ember_spark.operators.benchmark import build_benchmark_pairs
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"),
+        "text",
+        "lang",
+        F.floor(F.col("doc_id") / 5).cast("long").alias("cluster_id"),
+    )
+    return build_benchmark_pairs(
+        d,
+        pairs_per_cluster=4,
+        neg_per_cluster=6,
+        top_similar=3,
+        seed=142,
+        rand_buckets=16,
+    )
+
+
 # ----- non-SQL-expressible (rows-only checks): simhash / ANN-LSH / pipeline
 def q_simhash_dedup(spark, sf):
     from ember_spark.operators.dedup import simhash_dedup
@@ -554,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "ann_topk": q_ann_topk,
         "m7_pairwise_prf": q_m7_pairwise_prf,
+        "benchmark_pairs": q_benchmark_pairs,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -881,6 +908,102 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
             SELECT id, min(comp) AS component FROM reach GROUP BY id
+        """,
+        # the full benchmark-builder dataflow re-expressed in SQL:
+        # same windows, same seeded-md5 sort keys, same inverted-index
+        # profile similarity (params: 2 hard + 2 random positives,
+        # 3 hard + 3 random negatives, top-3 similar clusters, seed 142,
+        # 16 md5 buckets)
+        "benchmark_pairs": f"""
+            WITH base AS (
+              SELECT doc_id AS id, text, lang, (doc_id // 5) AS cluster,
+                     CASE WHEN lang = 'zh'
+                          THEN list_transform(
+                                 generate_series(1, greatest(len(text) - 1, 1)),
+                                 i -> substring(text, i, 2))
+                          ELSE {toks} END AS tokens
+              FROM documents),
+            pos_all AS (
+              SELECT a.id AS id_l, b.id AS id_r, a.text AS text_l, b.text AS text_r,
+                     a.lang AS lang_l, b.lang AS lang_r,
+                     a.cluster AS cluster_l, b.cluster AS cluster_r,
+                     CASE WHEN len(list_distinct(list_concat(a.tokens, b.tokens))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                               / len(list_distinct(list_concat(a.tokens, b.tokens)))
+                     END AS jac
+              FROM base a JOIN base b ON a.cluster = b.cluster AND a.id < b.id),
+            pos_ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY cluster_l
+                          ORDER BY jac ASC, id_l ASC, id_r ASC) AS rn_hard
+              FROM pos_all),
+            pos_hard AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM pos_ranked WHERE rn_hard <= 2),
+            pos_rand AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster_l
+                            ORDER BY md5('142#' || id_l::VARCHAR || '#' || id_r::VARCHAR)
+                                       ASC, id_l ASC, id_r ASC) AS rn_rand
+                FROM pos_ranked WHERE rn_hard > 2)
+              WHERE rn_rand <= 2),
+            profiles AS (
+              SELECT cluster, list_sort(list_distinct(flatten(list(tokens)))) AS profile
+              FROM base GROUP BY cluster),
+            inv AS (SELECT cluster, len(profile) AS s, unnest(profile) AS tok FROM profiles),
+            sims AS (
+              SELECT c_a, c_b FROM (
+                SELECT c_a, c_b, row_number() OVER (PARTITION BY c_a
+                         ORDER BY (inter::DOUBLE / (s_a + s_b - inter)) DESC, c_b ASC)
+                         AS sim_rank
+                FROM (
+                  SELECT a.cluster AS c_a, b.cluster AS c_b, a.s AS s_a, b.s AS s_b,
+                         count(*) AS inter
+                  FROM inv a JOIN inv b ON a.tok = b.tok AND a.cluster <> b.cluster
+                  GROUP BY 1, 2, 3, 4))
+              WHERE sim_rank <= 3),
+            hard_raw AS (
+              SELECT a.id AS id_l, b.id AS id_r, a.text AS text_l, b.text AS text_r,
+                     a.lang AS lang_l, b.lang AS lang_r,
+                     a.cluster AS cluster_l, b.cluster AS cluster_r
+              FROM base a JOIN sims s ON a.cluster = s.c_a
+              JOIN base b ON b.cluster = s.c_b
+              WHERE a.id < b.id),
+            neg_hard AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster_l
+                            ORDER BY md5('143#' || id_l::VARCHAR || '#' || id_r::VARCHAR)
+                                       ASC, id_l ASC, id_r ASC) AS rn
+                FROM hard_raw) WHERE rn <= 3),
+            bucketed AS (
+              SELECT *, substring(md5('144#' || id::VARCHAR), 1, 1) AS bk FROM base),
+            rand_raw AS (
+              SELECT a.id AS id_l, b.id AS id_r, a.text AS text_l, b.text AS text_r,
+                     a.lang AS lang_l, b.lang AS lang_r,
+                     a.cluster AS cluster_l, b.cluster AS cluster_r
+              FROM bucketed a JOIN bucketed b ON a.bk = b.bk
+              WHERE a.cluster <> b.cluster AND a.id < b.id),
+            neg_rand AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster_l
+                            ORDER BY md5('145#' || id_l::VARCHAR || '#' || id_r::VARCHAR)
+                                       ASC, id_l ASC, id_r ASC) AS rn
+                FROM rand_raw) WHERE rn <= 3),
+            negatives AS (
+              SELECT DISTINCT * FROM
+                (SELECT * FROM neg_hard UNION ALL SELECT * FROM neg_rand)),
+            labeled AS (
+              SELECT *, 1 AS label FROM pos_hard
+              UNION ALL SELECT *, 1 AS label FROM pos_rand
+              UNION ALL SELECT *, 0 AS label FROM negatives)
+            SELECT id_l AS url_left, id_r AS url_right,
+                   text_l AS text_left, text_r AS text_right,
+                   lang_l AS lang_left, lang_r AS lang_right,
+                   cluster_l AS cluster_id_left, cluster_r AS cluster_id_right, label
+            FROM labeled
         """,
         "m7_pairwise_prf": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label

@@ -34,9 +34,17 @@ def main() -> None:
     from ember_spark.plans.pipeline import ERPipeline
     from ember_spark.session import get_spark
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    n_cores = int(cpus) if cpus else (os.cpu_count() or 8)
-    spark = get_spark("ember_bench", cores=n_cores, shuffle_partitions=n_cores)
+    execs = os.environ.get("EMBER_EXECUTORS")
+    if execs:
+        # real multi-executor mode: N single-core executor JVMs
+        n_cores = int(execs)
+        spark = get_spark(
+            "ember_bench", shuffle_partitions=n_cores, executors=n_cores
+        )
+    else:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        n_cores = int(cpus) if cpus else (os.cpu_count() or 8)
+        spark = get_spark("ember_bench", cores=n_cores, shuffle_partitions=n_cores)
 
     sf_tag = args.sf_dir.rstrip("/").split("sf")[-1]
     queries: dict[str, float] = {}
@@ -55,6 +63,12 @@ def main() -> None:
     prepared.count()
     prep_sec = time.time() - t0
 
+    # the pair table is materialized between block and score: the
+    # Arrow-feature scoring stage then runs as its own job against a
+    # narrow persisted input instead of interleaving with the blocking
+    # shuffles — measured FASTER at every parallelism level (better AQE
+    # stats + no python/JVM interleave), and it is what a production
+    # deployment checkpointing candidate pairs does anyway.
     t0 = time.time()
     pairs = pipe.block(prepared).persist()
     n_pairs = pairs.count()
@@ -71,7 +85,7 @@ def main() -> None:
     cluster_sec = time.time() - t0
 
     er_sec = prep_sec + block_sec + score_sec + cluster_sec
-    pairs_per_sec = n_scored / (block_sec + score_sec) if (block_sec + score_sec) > 0 else 0.0
+    pairs_per_sec = n_scored / (block_sec + score_sec) if block_sec + score_sec > 0 else 0.0
     queries.update(
         {
             "er_generate": round(gen_sec, 3),
@@ -98,6 +112,7 @@ def main() -> None:
             "minhash_lsh_dedup",
             "ann_topk",
             "quality_score",
+            "benchmark_pairs",
             "er_pipeline_entities",
         ]:
             fn = entry_mod.queries()[name]

@@ -31,6 +31,14 @@ FAMILY_SIZE = 8          # entities per "similar cluster" family (hard negatives
 FAMILY_BASE = 12         # token pool per family
 KEEP_FROM_FAMILY = 4     # family tokens kept per entity (cross-sibling overlap)
 ENTITY_EXTRA = 8         # entity-specific tokens
+#: per-entity long-form description tokens (drawn from a 10x vocab so
+#: they stay entity-specific). Real Common-Crawl product/news pages
+#: carry hundreds of tokens of body text, not a 12-token title — the
+#: pipeline must be exercised (and benchmarked) at realistic document
+#: weight: tokenization, MinHash, embedding, and pair features all
+#: scale with tokens/doc.
+DESC_TOKENS = 96
+DESC_VOCAB = VOCAB_SIZE * 10
 DROP_PROB = 0.15         # per-record token dropout
 NOISE_PROB = 0.3         # per-record extra noise token
 SINGLETON_FRAC = 0.35    # fraction of entities with a single record
@@ -63,7 +71,21 @@ def _entity_tokens(seed: int, entity: int, zh: bool) -> list[str]:
     ent_rng = _rng(seed, 2, entity)
     kept = ent_rng.sample(fam_pool, KEEP_FROM_FAMILY)
     extra = [word(ent_rng.randrange(VOCAB_SIZE)) for _ in range(ENTITY_EXTRA)]
-    return kept + extra
+    # long-form body: description tokens. 3/4 entity-specific, 1/4 from
+    # a per-family description pool (sibling entities share category
+    # terminology — keeps hard negatives HARD at realistic doc length:
+    # sibling jaccard ~0.13 vs ~0.02 random vs ~0.7 true duplicates).
+    # zh bodies stay shorter — char-bigram tokenization doubles their
+    # effective token count downstream.
+    n_desc = DESC_TOKENS // 4 if zh else DESC_TOKENS
+    desc_word = _zh_word if zh else (lambda i: f"w{i:05d}")
+    pool_sz = max(n_desc // 2, 1)
+    fam_desc_pool = [desc_word(fam_rng.randrange(DESC_VOCAB)) for _ in range(pool_sz)]
+    n_fam = min(max(n_desc // 3, 1), pool_sz)
+    desc = ent_rng.sample(fam_desc_pool, n_fam) + [
+        desc_word(ent_rng.randrange(DESC_VOCAB)) for _ in range(n_desc - n_fam)
+    ]
+    return kept + extra + desc
 
 
 def _record_text(seed: int, entity: int, rec: int, base: list[str], zh: bool) -> str:

@@ -39,6 +39,54 @@ def char_ngrams(c: Column, n: int = 2) -> Column:
     return F.transform(idx, lambda i: F.substring(s, i, n))
 
 
-def tokenize_auto(text: Column, lang: Column) -> Column:
-    """lang-aware tokenization: CJK -> char bigrams, else whitespace."""
-    return F.when(lang == "zh", char_ngrams(text, 2)).otherwise(tokenize_ws(text))
+def tokenize_auto(text: Column, lang: Column, zh_tokenizer: str = "bigram") -> Column:
+    """lang-aware tokenization: CJK -> char bigrams (default) or jieba
+    (reference-parity X4, `build_ali_dataset.py:347-349`), else
+    whitespace.
+
+    zh_tokenizer='jieba' is an explicit opt-in rather than
+    import-detected: plans must not change behavior with the worker
+    environment (oracle queries and checkpoints depend on determinism).
+    """
+    if zh_tokenizer == "jieba":
+        zh = jieba_tokenize_udf(text)
+    else:
+        zh = char_ngrams(text, 2)
+    return F.when(lang == "zh", zh).otherwise(tokenize_ws(text))
+
+
+def have_jieba() -> bool:
+    try:
+        import jieba  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def jieba_tokenize_udf(text: Column) -> Column:
+    """jieba word segmentation as an Arrow-batched pandas UDF — the
+    reference's exact zh tokenizer (`build_ali_dataset.py:347-349`:
+    jieba.cut, whitespace-only tokens dropped). Deterministic: jieba's
+    default dictionary cut has no randomness. Raises at plan-build time
+    when jieba is absent (this sandbox) — callers keep the char-bigram
+    fallback as default."""
+    if not have_jieba():
+        raise ImportError(
+            "jieba is not installed; use tokenize_auto(..., zh_tokenizer='bigram')"
+        )
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _jieba(texts: pd.Series) -> pd.Series:
+        import jieba
+
+        return pd.Series(
+            [
+                [t for t in jieba.lcut(x)] if x is not None else []
+                for x in texts
+            ]
+        ).map(lambda toks: [t for t in toks if t.strip() != ""])
+
+    return _jieba(text)

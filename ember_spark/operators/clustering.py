@@ -71,6 +71,7 @@ def connected_components(
     dst: str = "id_r",
     max_iterations: int = 20,
     partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Compute connected components of an undirected edge list.
 
@@ -79,30 +80,55 @@ def connected_components(
     (including self-loop-only nodes; callers union in never-paired
     singletons themselves). Node id column type must be orderable
     (long or string).
+
+    `checkpoint_dir`: per-iteration edge sets are written to reliable
+    storage (parquet under this path) instead of localCheckpoint —
+    localCheckpoint blocks live on executors and die with one, which on
+    a real multi-executor cluster would fail an hours-long CC job near
+    the end; with a checkpoint dir the loop also RESUMES from the last
+    completed iteration after a driver restart.
     """
+    spark = edges.sparkSession
+
+    def persist_iter(df: DataFrame, it: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=False)
+        path = f"{checkpoint_dir}/cc_iter_{it:03d}"
+        done = f"{path}/_SUCCESS"
+        import os
+
+        if not os.path.exists(done):
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = raw.select(F.col("src").alias("id")).union(
         raw.select(F.col("dst").alias("id"))
     ).distinct()
-    e = (
-        raw.filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # eager=False: the checkpoint materializes inside the checksum
+    # action instead of spending a dedicated job per iteration — the
+    # loop is driver-synchronized, so per-job latency is pure serial
+    # cost that a 4x-wider cluster cannot shrink
+    e = persist_iter(raw.filter(F.col("src") != F.col("dst")).distinct(), 0)
     prev = _checksum(e)
 
     # CC is a driver-synchronized loop of small shuffles; with a wide
     # session shuffle width each round pays per-task overhead on near-
     # empty partitions. Size the loop's shuffle width to the edge count
     # (~500k edges per partition) and restore the session conf after.
-    spark = edges.sparkSession
+    # AQE is disabled inside the loop for the same reason: re-planning
+    # every tiny shuffle adds a scheduling round per stage and the
+    # loop's shuffle width is already sized here.
     conf_key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
     old_parts = spark.conf.get(conf_key)
+    old_aqe = spark.conf.get(aqe_key)
     cc_parts = partitions or max(8, min(int(old_parts), prev[0] // 500_000 + 1))
     spark.conf.set(conf_key, str(cc_parts))
+    spark.conf.set(aqe_key, "false")
     try:
-        for _ in range(max_iterations):
-            e = _small_star(_large_star(e)).localCheckpoint()
+        for it in range(1, max_iterations + 1):
+            e = persist_iter(_small_star(_large_star(e)), it)
             cur = _checksum(e)
             if cur == prev:
                 break
@@ -113,6 +139,7 @@ def connected_components(
             )
     finally:
         spark.conf.set(conf_key, old_parts)
+        spark.conf.set(aqe_key, old_aqe)
 
     # fixpoint edge set is a star forest: src -> root(dst); nodes never
     # emitted (roots, self-loop-only, isolated-in-input) map to themselves

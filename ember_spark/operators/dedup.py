@@ -251,7 +251,7 @@ def embedding_neardup(
     # not once per self-join side.
     banded = (
         base.select("id", F.explode(keys_udf(F.col("e"))).alias("block_key"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     banded = cap_hot_blocks(banded, "block_key", cap)
     left = banded.select("block_key", F.col("id").alias("id_l"))

@@ -18,9 +18,11 @@ import json
 import math
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from ember_spark.functions.similarity import (
     cosine_sim,
@@ -94,6 +96,76 @@ def pair_features(
             ).otherwise(F.least(len_l, len_r) / F.greatest(len_l, len_r)),
         )
     )
+
+
+def make_pair_features_udf(max_len: int = 80):
+    """ONE Arrow batch UDF computing ALL pair features —
+    (f_jaccard, f_containment, f_jw, f_cos, f_len_ratio) — from the
+    pair payload. This is the north-star scoring shape ("score pairs
+    with batched Arrow/pandas UDFs computing Jaro-Winkler,
+    token-Jaccard, and sentence-embedding cosine features"): feature
+    work runs in Python worker PROCESSES, which scale with executors
+    (each brings its own workers), while the JVM side only shuffles the
+    pair payload. Inputs: text_l/r (strings, full or pre-truncated),
+    len_l/r (full text lengths), tok_l/r (token or hashed-token
+    arrays), emb_l/r (L2-normalized float arrays).
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    from ember_spark.functions.similarity import jaro_winkler_py
+
+    schema = StructType(
+        [
+            StructField("f_jaccard", DoubleType()),
+            StructField("f_containment", DoubleType()),
+            StructField("f_jw", DoubleType()),
+            StructField("f_cos", DoubleType()),
+            StructField("f_len_ratio", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _feats(
+        text_l: pd.Series, text_r: pd.Series,
+        len_l: pd.Series, len_r: pd.Series,
+        tok_l: pd.Series, tok_r: pd.Series,
+        emb_l: pd.Series, emb_r: pd.Series,
+    ) -> pd.DataFrame:
+        n = len(text_l)
+        jac = np.zeros(n)
+        cont = np.zeros(n)
+        jw = np.zeros(n)
+        for i in range(n):
+            a = set(tok_l.iloc[i]) if tok_l.iloc[i] is not None else set()
+            b = set(tok_r.iloc[i]) if tok_r.iloc[i] is not None else set()
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            jac[i] = inter / union if union else 0.0
+            mn = min(len(a), len(b))
+            cont[i] = inter / mn if mn else 0.0
+            ta, tb = text_l.iloc[i], text_r.iloc[i]
+            jw[i] = jaro_winkler_py(
+                ta if ta is None else ta[:max_len],
+                tb if tb is None else tb[:max_len],
+            )
+        el = np.stack([np.asarray(e, dtype=np.float64) for e in emb_l])
+        er = np.stack([np.asarray(e, dtype=np.float64) for e in emb_r])
+        cos = np.einsum("ij,ij->i", el, er)  # inputs are unit vectors
+        ll = len_l.to_numpy(dtype=np.float64)
+        lr = len_r.to_numpy(dtype=np.float64)
+        mx = np.maximum(ll, lr)
+        ratio = np.where(mx == 0, 1.0, np.minimum(ll, lr) / np.where(mx == 0, 1.0, mx))
+        return pd.DataFrame(
+            {
+                "f_jaccard": jac,
+                "f_containment": cont,
+                "f_jw": jw,
+                "f_cos": cos,
+                "f_len_ratio": ratio,
+            }
+        )
+
+    return _feats
 
 
 class LogisticMatcher:

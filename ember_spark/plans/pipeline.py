@@ -34,6 +34,7 @@ from ember_spark.operators.scoring import (
     FEATURES_CHEAP,
     CascadeMatcher,
     LogisticMatcher,
+    make_pair_features_udf,
     pair_features,
 )
 
@@ -61,7 +62,14 @@ class PipelineConfig:
     embedding_dim: int = 64
     use_url_key: bool = True
     score_partitions: int | None = None  # None -> spark.sql.shuffle.partitions
-    salt: int = 8
+    # skew-key salting of the scored pair table. Skew is already bounded
+    # upstream by three mechanisms (hot-token census removal, the
+    # block-size cap — no id can appear in more than cap*bands pairs —
+    # and AQE skew-join splitting at runtime), so the explicit salted
+    # repartition is OFF by default: it costs a full extra shuffle of
+    # the widest table in the job. Set salt>0 for corpora with
+    # pathological key distributions that defeat the cap.
+    salt: int = 0
     # tokens present in > this fraction of docs are dropped from the
     # BLOCKING token set (df census -> broadcast literal). Stopword-like
     # tokens otherwise inflate MinHash similarity corpus-wide and blow
@@ -77,11 +85,19 @@ class PipelineConfig:
     matcher: LogisticMatcher = field(
         default_factory=lambda: LogisticMatcher(DEFAULT_WEIGHTS, DEFAULT_BIAS)
     )
-    # cascade scoring: the JVM-native cheap model classifies confident
-    # pairs; only the [low, high] uncertainty band pays for the Python
-    # Jaro-Winkler + full model. At web scale the band is a few percent
-    # of candidates.
-    use_cascade: bool = True
+    # feature computation mode:
+    #  - "arrow" (default, the north-star shape): ONE Arrow batch UDF
+    #    computes all five features per pair. Feature work runs in
+    #    Python worker processes — on a cluster each executor brings
+    #    its own workers, so the dominant scoring cost scales with the
+    #    executor count instead of competing inside the JVM for the
+    #    shuffle machinery.
+    #  - "cascade": JVM-native cheap model gates the Python Jaro-Winkler
+    #    stage — fastest absolute wall when Python workers are the
+    #    scarce resource.
+    #  - "native": single-stage JVM features + Python JW for every pair.
+    feature_mode: str = "arrow"
+    use_cascade: bool = True  # used by the "cascade"/"native" modes
     cascade: CascadeMatcher = field(
         default_factory=lambda: CascadeMatcher(
             cheap=LogisticMatcher(DEFAULT_CHEAP_WEIGHTS, DEFAULT_CHEAP_BIAS),
@@ -115,7 +131,16 @@ class ERPipeline:
         return pages.select(F.col("url"), text.alias("text"), F.col("lang"))
 
     def prepare(self, docs: DataFrame) -> DataFrame:
-        """tokens + hashing-trick embedding + blocking token set.
+        """tokens + hashing-trick embedding + blocking token set + rid.
+
+        `rid` is a 64-bit hash of the url used as the record key through
+        blocking/scoring/clustering: every downstream shuffle, sort and
+        checkpoint then carries an 8-byte long instead of a ~40-byte
+        url string — on bandwidth-bound stages that is the difference
+        between scaling and thrashing. Collision odds are n^2/2^65
+        (~5e-8 at 1.4M docs); at true 10^12 scale swap in a 128-bit
+        (two-hash) rid — the dataflow is unchanged. urls re-attach by a
+        (rid, url) join at the very end (`cluster`).
 
         `block_tokens` = tokens minus corpus-hot tokens (document
         frequency above cfg.hot_token_df_frac). The df census is one
@@ -148,6 +173,7 @@ class ERPipeline:
             base.withColumn("block_tokens", block_toks)
             .withColumn("_prep", prep(F.col("tokens"), F.col("block_tokens")))
             .select(
+                F.xxhash64("url").alias("rid"),
                 "url",
                 "text",
                 "lang",
@@ -192,12 +218,13 @@ class ERPipeline:
     def block(self, prepared: DataFrame) -> DataFrame:
         keys = [url_path_key(F.col("url"))] if self.cfg.use_url_key else []
         has_sig = "sig" in prepared.columns
+        id_col = "rid" if "rid" in prepared.columns else "url"
         tokens_col = (
             "block_tokens" if "block_tokens" in prepared.columns else "tokens"
         )
         return candidate_pairs(
             prepared,
-            id_col="url",
+            id_col=id_col,
             tokens_col=None if has_sig else tokens_col,
             exact_key_exprs=keys,
             num_hashes=self.cfg.num_hashes,
@@ -219,21 +246,36 @@ class ERPipeline:
         # window — halves the pair-shuffle width. text_len carries the
         # FULL pre-truncation length so f_len_ratio sees the same
         # distribution at inference as at training (no train/serve skew)
+        id_col = "rid" if "rid" in prepared.columns else "url"
         slim = prepared.select(
-            "url",
+            id_col,
             F.substring("text", 1, 80).alias("text"),
             F.length("text").cast("double").alias("text_len"),
             "tokens",
             "emb",
         )
         withpay = attach_pair_payload(
-            pairs, slim, "url", ["text", "text_len", "tokens", "emb"],
+            pairs, slim, id_col, ["text", "text_len", "tokens", "emb"],
             broadcast_payload=self.cfg.broadcast_payload,
         )
-        # skew-key salting: spread any hot block's pairs before the
-        # Python-bearing feature stage
-        withpay = salted_repartition(withpay, "id_l", "id_r", parts, self.cfg.salt)
-        if not self.cfg.use_cascade:
+        # optional skew-key salting: spread any hot key's pairs before
+        # the Python-bearing feature stage (see PipelineConfig.salt)
+        if self.cfg.salt:
+            withpay = salted_repartition(withpay, "id_l", "id_r", parts, self.cfg.salt)
+        out_cols = ["id_l", "id_r", *FEATURES, "score", "prediction"]
+        if self.cfg.feature_mode == "arrow":
+            feats_udf = make_pair_features_udf()
+            feats = withpay.withColumn(
+                "_f",
+                feats_udf(
+                    F.col("text_l"), F.col("text_r"),
+                    F.col("text_len_l"), F.col("text_len_r"),
+                    F.col("tokens_l"), F.col("tokens_r"),
+                    F.col("emb_l"), F.col("emb_r"),
+                ),
+            ).select("id_l", "id_r", *[F.col(f"_f.{f}").alias(f) for f in FEATURES])
+            return self.cfg.matcher.predict(feats).select(*out_cols)
+        if not self.cfg.use_cascade or self.cfg.feature_mode == "native":
             feats = pair_features(
                 withpay, emb_dim=self.cfg.embedding_dim, emb_normalized=True,
                 len_l="text_len_l", len_r="text_len_r",
@@ -257,6 +299,9 @@ class ERPipeline:
         # token arrays and embeddings are spent after the cheap features
         # — carrying them through the checkpoint made its write the
         # memory-bandwidth bottleneck of the whole scoring stage
+        # EAGER: both cascade branches scan stage1 concurrently — lazy
+        # checkpointing here makes their tasks convoy on block-store
+        # locks at wide parallelism (see blocking._pairs_from_keys)
         stage1 = (
             cm.predict_cheap(cheap_feats)
             .select(
@@ -286,13 +331,20 @@ class ERPipeline:
     def cluster(self, scored: DataFrame, prepared: DataFrame) -> DataFrame:
         edges = scored.filter(F.col("prediction") == 1).select("id_l", "id_r")
         comp = connected_components(edges, "id_l", "id_r")
-        all_urls = prepared.select(F.col("url").alias("id"))
-        singles = all_urls.join(comp, "id", "left_anti").withColumn(
+        id_col = "rid" if "rid" in prepared.columns else "url"
+        all_ids = prepared.select(F.col(id_col).alias("id"))
+        singles = all_ids.join(comp, "id", "left_anti").withColumn(
             "component", F.col("id")
         )
-        return (
-            comp.unionByName(singles)
-            .select(F.col("id").alias("url"), F.col("component").alias("entity_id"))
+        ents = comp.unionByName(singles)
+        if id_col == "rid":
+            # map the long rid back to the url exactly once, at the end
+            urls = prepared.select(F.col("rid").alias("id"), "url")
+            return ents.join(urls, "id").select(
+                "url", F.col("component").alias("entity_id")
+            )
+        return ents.select(
+            F.col("id").alias("url"), F.col("component").alias("entity_id")
         )
 
     # ------------------------------------------------------------- runs
@@ -338,9 +390,15 @@ class ERPipeline:
         """Chained per-stage fingerprints seeded by (config, input)."""
         import hashlib
 
+        # the model is part of the config: a retrained matcher must not
+        # be served stale 'score'/'entities' checkpoints
+        model_fp = hashlib.blake2b(
+            (self.cfg.matcher.to_json() + self.cfg.cascade.to_json()).encode(),
+            digest_size=4,
+        ).hexdigest() if self.cfg.matcher.weights is not None else "prior"
         cfg_fp = (
             f"h{self.cfg.num_hashes}b{self.cfg.bands}r{self.cfg.rows}"
-            f"c{self.cfg.block_cap}d{self.cfg.embedding_dim}"
+            f"c{self.cfg.block_cap}d{self.cfg.embedding_dim}m{model_fp}"
         )
         if input_fp is None:
             try:

@@ -17,14 +17,28 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executors: int | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores: local parallelism; defaults to $SPARK_GRAFT_CPUS or '*'.
     shuffle_partitions: defaults to max(cores, 8) locally. On a real
     cluster this is set to ~2-3x total cores by the submitter.
+
+    executors (or $EMBER_EXECUTORS): run a REAL multi-executor cluster
+    on this box — `local-cluster[N,1,...]` launches N separate
+    single-core executor JVMs (own heap, own GC, shuffle over the
+    network stack), the faithful sandbox analog of "N executors" for
+    the north-rule scaling evidence. local[N] threads share one heap
+    and one GC, which measures thread scaling, not executor scaling.
     """
-    if cores is None:
+    env_exec = os.environ.get("EMBER_EXECUTORS")
+    if executors is None and env_exec:
+        executors = int(env_exec)
+    if executors:
+        master = f"local-cluster[{executors},1,7168]"
+        n = executors
+    elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
         n = int(env) if env else (os.cpu_count() or 8)
@@ -53,6 +67,14 @@ def get_spark(
     # scaling artificially (a real cluster has per-executor local SSDs
     # that scale with the executor count). Use tmpfs for shuffle spill
     # when present so the sandbox approximates per-executor shuffle IO.
+    if executors:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        b = (
+            b.config("spark.executor.memory", "6g")
+            # executor python workers must import ember_spark (UDF
+            # closures reference module functions by name)
+            .config("spark.executorEnv.PYTHONPATH", repo)
+        )
     shm = os.environ.get("EMBER_LOCAL_DIR", "/dev/shm/spark_local")
     if master.startswith("local") and os.path.isdir(os.path.dirname(shm) or "/"):
         try:

@@ -1,0 +1,86 @@
+"""ANN recall evidence: lsh_topk recall@k vs brute force on a >=100k
+vector corpus across (bands, rows, probe_bits) settings. Prints a
+markdown table (pasted into BENCH.md) so the ANN "scale path" carries
+measured recall, not just plumbing.
+
+Corpus: deterministic random unit vectors plus planted moderate-cosine
+neighbors for half the queries (the regime LSH must not miss); queries
+are corpus members. Brute force is the exact baseline.
+
+Usage: python scripts/ann_recall.py [n_vectors] [n_queries] [k]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from ember_spark.operators.ann import brute_force_topk, lsh_topk  # noqa: E402
+from ember_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+CONFIGS = [  # (bands, rows, probe_bits)
+    (8, 3, 0),
+    (8, 3, 1),
+    (16, 3, 1),
+    (16, 4, 1),
+    (8, 4, 2),
+]
+
+
+def make_corpus(n: int, n_queries: int) -> pd.DataFrame:
+    rng = np.random.default_rng(142)
+    v = rng.normal(size=(n, DIM))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # plant a cos~[0.6,0.9] neighbor for every even query id
+    for q in range(0, n_queries, 2):
+        c = 0.6 + 0.3 * rng.random()
+        u = rng.normal(size=DIM)
+        u -= (u @ v[q]) * v[q]
+        u /= np.linalg.norm(u)
+        v[n - 1 - q] = c * v[q] + np.sqrt(1 - c * c) * u
+    return pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [r.astype(np.float32).tolist() for r in v]}
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("ann_recall", shuffle_partitions=32)
+    corpus = spark.createDataFrame(make_corpus(n, n_q), "vec_id long, embedding array<float>")
+    corpus = corpus.persist()
+    corpus.count()
+    queries = corpus.filter(f"vec_id < {n_q}")
+
+    t0 = time.time()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=k).collect()
+    }
+    brute_sec = time.time() - t0
+
+    print(f"corpus={n} dim={DIM} queries={n_q} k={k} brute={brute_sec:.1f}s\n")
+    print("| bands | rows | probe_bits | recall@k | wall (s) |")
+    print("|---|---|---|---|---|")
+    for bands, rows, probe in CONFIGS:
+        t0 = time.time()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(
+                corpus, queries, k=k, bands=bands, rows=rows, probe_bits=probe
+            ).collect()
+        }
+        wall = time.time() - t0
+        recall = len(got & truth) / len(truth)
+        print(f"| {bands} | {rows} | {probe} | {recall:.3f} | {wall:.1f} |")
+
+
+if __name__ == "__main__":
+    main()

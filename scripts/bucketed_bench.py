@@ -1,0 +1,92 @@
+"""Bucketed vs shuffle payload-attach comparison (VERDICT r1 item 8).
+
+Times attach_pair_payload (two sort-merge exchanges of the pair table
+per run) against attach_pair_payload_bucketed (one-time bucketed write,
+then exchange-free joins) on the synthetic ER corpus. Reports both the
+write cost and the per-join cost — the bucketed variant wins when the
+payload join runs more than ~once per pair table (rescoring, feature
+iteration), which is the 10^12-pair operating mode.
+
+Usage: python scripts/bucketed_bench.py [entities]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ember_spark.fixtures import generate_pages, split_labels  # noqa: E402
+from ember_spark.operators.blocking import (  # noqa: E402
+    attach_pair_payload,
+    attach_pair_payload_bucketed,
+)
+from ember_spark.plans.pipeline import ERPipeline  # noqa: E402
+from ember_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    entities = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    spark = get_spark("bucketed_bench", shuffle_partitions=32)
+    pages, _ = split_labels(generate_pages(spark, entities, seed=142))
+    docs = pages.select("url", "text", "lang").persist()
+    docs.count()
+    pipe = ERPipeline(spark)
+    prepared = pipe.prepare(docs).persist()
+    prepared.count()
+    pairs = pipe.block(prepared).persist()
+    n_pairs = pairs.count()
+    slim = prepared.select(
+        "url", F.substring("text", 1, 80).alias("text"), "tokens", "emb"
+    )
+    payload = ["text", "tokens", "emb"]
+
+    t0 = time.time()
+    n1 = attach_pair_payload(
+        pairs, slim, "url", payload, broadcast_payload=False
+    ).count()
+    shuffle_sec = time.time() - t0
+
+    loc = tempfile.mkdtemp(prefix="ember_bkt_")
+    try:
+        t0 = time.time()
+        bucketed = attach_pair_payload_bucketed(
+            pairs, slim, "url", payload, buckets=32,
+            table_prefix="bb_bench", location=loc,
+        )
+        n2 = bucketed.count()  # includes the one-time bucketed writes
+        bucketed_first_sec = time.time() - t0
+        t0 = time.time()
+        n3 = spark.table("bb_bench_pairs").join(
+            spark.table("bb_bench_corpus").select(
+                F.col("url").alias("id_l"),
+                *[F.col(c).alias(f"{c}_l") for c in payload],
+            ),
+            "id_l",
+        ).join(
+            spark.table("bb_bench_corpus").select(
+                F.col("url").alias("id_r"),
+                *[F.col(c).alias(f"{c}_r") for c in payload],
+            ),
+            "id_r",
+        ).count()  # steady-state: tables already bucketed
+        bucketed_steady_sec = time.time() - t0
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+    assert n1 == n2 == n3 == n_pairs, (n1, n2, n3, n_pairs)
+    print(
+        f"| {entities} entities / {n_pairs} pairs "
+        f"| shuffle {shuffle_sec:.1f}s "
+        f"| bucketed write+join {bucketed_first_sec:.1f}s "
+        f"| bucketed steady-state join {bucketed_steady_sec:.1f}s |"
+    )
+
+
+if __name__ == "__main__":
+    main()

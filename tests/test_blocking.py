@@ -7,6 +7,7 @@ from ember_spark.operators.blocking import (
     cap_hot_blocks,
     exact_key_pairs,
     lsh_candidate_pairs,
+    salted_repartition,
 )
 
 
@@ -52,6 +53,27 @@ def test_candidate_pairs_union_dedup(spark):
     assert {(1, 2), (3, 4), (1, 5), (2, 5)} <= set(keys)
     # canonical order
     assert all(l < r for l, r in keys)
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    """Opt-in skew salting (PipelineConfig.salt>0): one hot key's rows
+    must land on multiple partitions, not pin a single task."""
+    rows = [("hot", i) for i in range(2000)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "row_id"]), "key string, row_id long"
+    )
+    out = salted_repartition(df, "key", "row_id", partitions=8, salt=8)
+    sizes = [
+        r["n"]
+        for r in out.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    # the hot key must not pin one task: spread over >1 partition and no
+    # partition holds everything
+    assert len(sizes) >= 2
+    assert max(sizes) < 2000
+    assert sum(sizes) == 2000
 
 
 def test_cap_hot_blocks(spark):

@@ -96,6 +96,33 @@ def test_matcher_f1_on_labeled_pairs(spark):
     assert m_test["f1"] >= 0.99, m_test
 
 
+def test_pipeline_cascade_mode_recovers_clusters(spark, corpus):
+    """feature_mode='cascade' (JVM features + cheap-model gate in front
+    of Python JW) must hit the same F1 gate as the default arrow mode."""
+    from ember_spark.plans.pipeline import PipelineConfig
+
+    pages, labels = split_labels(corpus)
+    pipe = ERPipeline(spark, PipelineConfig(feature_mode="cascade"))
+    ents = pipe.run(pages)["entities"]
+    truth = (
+        labels.alias("a")
+        .join(labels.alias("b"), F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(
+            F.col("a.url").alias("id_l"),
+            F.col("b.url").alias("id_r"),
+            F.lit(1).alias("label"),
+        )
+    )
+    m = cluster_pairwise_prf(
+        ents.withColumnRenamed("url", "id").withColumnRenamed("entity_id", "component"),
+        truth,
+        left_col="id_l",
+        right_col="id_r",
+    )
+    assert m["f1"] >= 0.99, m
+
+
 def test_pipeline_no_rowwise_python_udf(spark, corpus):
     """Audit (SURVEY.md §7.3): the physical plan must contain no
     row-at-a-time Python (BatchEvalPython); ArrowEvalPython is the
