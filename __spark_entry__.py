@@ -485,9 +485,11 @@ def q_connected_components(spark, sf):
 
 def q_benchmark_pairs(spark, sf):
     """Distributed labeled-benchmark construction (the reference's
-    build_ali_dataset dataflow): hard/random positives per cluster,
-    hard negatives from top-similar clusters (inverted-index profile
-    jaccard), random negatives from md5 buckets — all windows + keyed
+    build_ali_dataset dataflow): per cluster, hard positives =
+    least-similar within-cluster pairs + seeded-random rest; negatives
+    drawn from the top-similar clusters (inverted-index profile
+    jaccard), hard = MOST-similar record pairs, random = seeded sample
+    of the remaining similar-cluster candidates — all windows + keyed
     joins, fully oracle-checked against the same dataflow in SQL.
     Clusters here are synthetic (doc_id // 5) — the op takes ground
     truth clusters as input, like the reference."""
@@ -505,7 +507,67 @@ def q_benchmark_pairs(spark, sf):
         neg_per_cluster=6,
         top_similar=3,
         seed=142,
-        rand_buckets=16,
+    )
+
+
+def _bench_docs(spark, sf):
+    """documents with synthetic ground-truth clusters of 10 records
+    (>= the suite's min_cluster_size, like the reference's lt-10
+    filter, build_ali_dataset.py:355-358)."""
+    return _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url"),
+        "text",
+        "lang",
+        F.floor(F.col("doc_id") / 10).cast("long").alias("cluster_id"),
+    )
+
+
+def q_benchmark_rl_pairs(spark, sf):
+    """The reference's RL scenario test (build_ali_dataset.py:298-303):
+    cluster split (30 main / 10 new), per-cluster 60/40 record split,
+    then cross-corpus pairs main-records x new-records — positives
+    within the cluster, negatives from the top-3 most-similar clusters
+    (profiles from each corpus side). Exercises split_clusters,
+    split_records and build_benchmark_pairs' cross mode end-to-end,
+    value-checked against the same dataflow in SQL."""
+    from ember_spark.operators.benchmark import (
+        build_benchmark_pairs,
+        split_clusters,
+        split_records,
+    )
+
+    d = _bench_docs(spark, sf)
+    cs = split_clusters(d, "cluster_id", n_main=30, n_extra=10,
+                        min_cluster_size=10, seed=142)
+    tagged = d.join(cs, "cluster_id")
+    main_cl = tagged.filter(F.col("cluster_split") == "main").drop("cluster_split")
+    rs = split_records(main_cl, "url", "cluster_id", frac_extra=0.4, seed=142)
+    main_rec = rs.filter(F.col("record_split") == "main").drop("record_split")
+    extra_rec = rs.filter(F.col("record_split") == "extra").drop("record_split")
+    return build_benchmark_pairs(
+        main_rec,
+        right_records=extra_rec,
+        pairs_per_cluster=2,
+        neg_per_cluster=6,
+        top_similar=3,
+        seed=142,
+    )
+
+
+def q_benchmark_imbalanced(spark, sf):
+    """The reference's imbalanced-test mode (IMBALANCE_POS_NEG_SIZE,
+    build_ali_dataset.py:30,311-315): exact global pos/neg totals —
+    per-cluster quota ceil(total/num_clusters), then a seeded global
+    take. orderBy+limit plans as TakeOrdered (distributed top-k)."""
+    from ember_spark.operators.benchmark import build_benchmark_pairs
+
+    return build_benchmark_pairs(
+        _bench_docs(spark, sf),
+        pairs_per_cluster=4,
+        top_similar=3,
+        seed=142,
+        total_pos=20,
+        total_neg=380,
     )
 
 
@@ -537,8 +599,11 @@ def q_er_pipeline_entities(spark, sf):
         "lang",
     )
     pipe = ERPipeline(spark)
-    prepared = pipe.prepare(docs)
-    scored = pipe.score(pipe.block(prepared), prepared)
+    # cluster() references prepared twice (singletons + url re-attach)
+    # and scored once per CC bootstrap — persist both or every
+    # reference re-executes the upstream pipeline
+    prepared = pipe.prepare(docs).persist()
+    scored = pipe.score(pipe.block(prepared), prepared).persist()
     return pipe.cluster(scored, prepared)
 
 
@@ -581,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "m7_pairwise_prf": q_m7_pairwise_prf,
         "benchmark_pairs": q_benchmark_pairs,
+        "benchmark_rl_pairs": q_benchmark_rl_pairs,
+        "benchmark_imbalanced": q_benchmark_imbalanced,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -911,9 +978,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the full benchmark-builder dataflow re-expressed in SQL:
         # same windows, same seeded-md5 sort keys, same inverted-index
-        # profile similarity (params: 2 hard + 2 random positives,
-        # 3 hard + 3 random negatives, top-3 similar clusters, seed 142,
-        # 16 md5 buckets)
+        # profile similarity; hard negatives = most-similar pairs
+        # (jaccard DESC), random negatives = seeded sample of the
+        # remaining similar-cluster candidates (params: 2 hard +
+        # 2 random positives, 3 hard + 3 random negatives, top-3
+        # similar clusters, seed 142)
         "benchmark_pairs": f"""
             WITH base AS (
               SELECT doc_id AS id, text, lang, (doc_id // 5) AS cluster,
@@ -963,41 +1032,250 @@ def oracle_sql() -> dict[str, str]:
                   FROM inv a JOIN inv b ON a.tok = b.tok AND a.cluster <> b.cluster
                   GROUP BY 1, 2, 3, 4))
               WHERE sim_rank <= 3),
-            hard_raw AS (
+            neg_all AS (
               SELECT a.id AS id_l, b.id AS id_r, a.text AS text_l, b.text AS text_r,
                      a.lang AS lang_l, b.lang AS lang_r,
-                     a.cluster AS cluster_l, b.cluster AS cluster_r
+                     a.cluster AS cluster_l, b.cluster AS cluster_r,
+                     CASE WHEN len(list_distinct(list_concat(a.tokens, b.tokens))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                               / len(list_distinct(list_concat(a.tokens, b.tokens)))
+                     END AS jac
               FROM base a JOIN sims s ON a.cluster = s.c_a
               JOIN base b ON b.cluster = s.c_b
               WHERE a.id < b.id),
+            neg_ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY cluster_l
+                          ORDER BY jac DESC, id_l ASC, id_r ASC) AS rn_hard
+              FROM neg_all),
             neg_hard AS (
               SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
-              FROM (
-                SELECT *, row_number() OVER (PARTITION BY cluster_l
-                            ORDER BY md5('143#' || id_l::VARCHAR || '#' || id_r::VARCHAR)
-                                       ASC, id_l ASC, id_r ASC) AS rn
-                FROM hard_raw) WHERE rn <= 3),
-            bucketed AS (
-              SELECT *, substring(md5('144#' || id::VARCHAR), 1, 1) AS bk FROM base),
-            rand_raw AS (
-              SELECT a.id AS id_l, b.id AS id_r, a.text AS text_l, b.text AS text_r,
-                     a.lang AS lang_l, b.lang AS lang_r,
-                     a.cluster AS cluster_l, b.cluster AS cluster_r
-              FROM bucketed a JOIN bucketed b ON a.bk = b.bk
-              WHERE a.cluster <> b.cluster AND a.id < b.id),
+              FROM neg_ranked WHERE rn_hard <= 3),
             neg_rand AS (
               SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
               FROM (
                 SELECT *, row_number() OVER (PARTITION BY cluster_l
-                            ORDER BY md5('145#' || id_l::VARCHAR || '#' || id_r::VARCHAR)
-                                       ASC, id_l ASC, id_r ASC) AS rn
-                FROM rand_raw) WHERE rn <= 3),
+                            ORDER BY md5('143#' || id_l::VARCHAR || '#' || id_r::VARCHAR)
+                                       ASC, id_l ASC, id_r ASC) AS rn_rand
+                FROM neg_ranked WHERE rn_hard > 3)
+              WHERE rn_rand <= 3),
             negatives AS (
               SELECT DISTINCT * FROM
                 (SELECT * FROM neg_hard UNION ALL SELECT * FROM neg_rand)),
             labeled AS (
               SELECT *, 1 AS label FROM pos_hard
               UNION ALL SELECT *, 1 AS label FROM pos_rand
+              UNION ALL SELECT *, 0 AS label FROM negatives)
+            SELECT id_l AS url_left, id_r AS url_right,
+                   text_l AS text_left, text_r AS text_right,
+                   lang_l AS lang_left, lang_r AS lang_right,
+                   cluster_l AS cluster_id_left, cluster_r AS cluster_id_right, label
+            FROM labeled
+        """,
+        # RL scenario: cluster split (md5 seed 142) -> 60/40 record
+        # split (md5 seed 152) -> cross-corpus pairs main x extra;
+        # 1 hard + 1 random positive, 3 hard (jaccard DESC) + 3 random
+        # negatives per cluster from the top-3 similar clusters
+        # (left profiles from main records, right from extra records)
+        "benchmark_rl_pairs": f"""
+            WITH base AS (
+              SELECT doc_id AS id, text, lang, (doc_id // 10) AS cluster,
+                     CASE WHEN lang = 'zh'
+                          THEN list_transform(
+                                 generate_series(1, greatest(len(text) - 1, 1)),
+                                 i -> substring(text, i, 2))
+                          ELSE {toks} END AS tokens
+              FROM documents),
+            sizes AS (SELECT cluster FROM base GROUP BY cluster
+                      HAVING count(*) >= 10),
+            cranked AS (
+              SELECT cluster, row_number() OVER (
+                       ORDER BY md5('142#' || cluster::VARCHAR) ASC, cluster ASC)
+                     AS crn
+              FROM sizes),
+            mc AS (SELECT b.* FROM base b
+                   JOIN cranked c USING (cluster) WHERE c.crn <= 30),
+            rsplit AS (
+              SELECT *, row_number() OVER (PARTITION BY cluster
+                          ORDER BY md5('152#' || id::VARCHAR) ASC, id ASC) AS rrn,
+                     count(*) OVER (PARTITION BY cluster) AS cnt
+              FROM mc),
+            main_rec AS (SELECT id, text, lang, cluster, tokens FROM rsplit
+                         WHERE rrn <= ceil(cnt * 600000 / 1000000)),
+            extra_rec AS (SELECT id, text, lang, cluster, tokens FROM rsplit
+                          WHERE rrn > ceil(cnt * 600000 / 1000000)),
+            pos_all AS (
+              SELECT a.id AS id_l, b.id AS id_r, a.text AS text_l, b.text AS text_r,
+                     a.lang AS lang_l, b.lang AS lang_r,
+                     a.cluster AS cluster_l, b.cluster AS cluster_r,
+                     CASE WHEN len(list_distinct(list_concat(a.tokens, b.tokens))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                               / len(list_distinct(list_concat(a.tokens, b.tokens)))
+                     END AS jac
+              FROM main_rec a JOIN extra_rec b
+                ON a.cluster = b.cluster AND a.id <> b.id),
+            pos_ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY cluster_l
+                          ORDER BY jac ASC, id_l ASC, id_r ASC) AS rn_hard
+              FROM pos_all),
+            pos_hard AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM pos_ranked WHERE rn_hard <= 1),
+            pos_rand AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster_l
+                            ORDER BY md5('142#' || id_l::VARCHAR || '#' || id_r::VARCHAR)
+                                       ASC, id_l ASC, id_r ASC) AS rn_rand
+                FROM pos_ranked WHERE rn_hard > 1)
+              WHERE rn_rand <= 1),
+            profiles_l AS (
+              SELECT cluster, list_sort(list_distinct(flatten(list(tokens)))) AS profile
+              FROM main_rec GROUP BY cluster),
+            profiles_r AS (
+              SELECT cluster, list_sort(list_distinct(flatten(list(tokens)))) AS profile
+              FROM extra_rec GROUP BY cluster),
+            inv_l AS (SELECT cluster, len(profile) AS s, unnest(profile) AS tok
+                      FROM profiles_l),
+            inv_r AS (SELECT cluster, len(profile) AS s, unnest(profile) AS tok
+                      FROM profiles_r),
+            sims AS (
+              SELECT c_a, c_b FROM (
+                SELECT c_a, c_b, row_number() OVER (PARTITION BY c_a
+                         ORDER BY (inter::DOUBLE / (s_a + s_b - inter)) DESC, c_b ASC)
+                         AS sim_rank
+                FROM (
+                  SELECT a.cluster AS c_a, b.cluster AS c_b, a.s AS s_a, b.s AS s_b,
+                         count(*) AS inter
+                  FROM inv_l a JOIN inv_r b ON a.tok = b.tok AND a.cluster <> b.cluster
+                  GROUP BY 1, 2, 3, 4))
+              WHERE sim_rank <= 3),
+            neg_all AS (
+              SELECT a.id AS id_l, b.id AS id_r, a.text AS text_l, b.text AS text_r,
+                     a.lang AS lang_l, b.lang AS lang_r,
+                     a.cluster AS cluster_l, b.cluster AS cluster_r,
+                     CASE WHEN len(list_distinct(list_concat(a.tokens, b.tokens))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                               / len(list_distinct(list_concat(a.tokens, b.tokens)))
+                     END AS jac
+              FROM main_rec a JOIN sims s ON a.cluster = s.c_a
+              JOIN extra_rec b ON b.cluster = s.c_b
+              WHERE a.id <> b.id),
+            neg_ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY cluster_l
+                          ORDER BY jac DESC, id_l ASC, id_r ASC) AS rn_hard
+              FROM neg_all),
+            neg_hard AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM neg_ranked WHERE rn_hard <= 3),
+            neg_rand AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster_l
+                            ORDER BY md5('143#' || id_l::VARCHAR || '#' || id_r::VARCHAR)
+                                       ASC, id_l ASC, id_r ASC) AS rn_rand
+                FROM neg_ranked WHERE rn_hard > 3)
+              WHERE rn_rand <= 3),
+            negatives AS (
+              SELECT DISTINCT * FROM
+                (SELECT * FROM neg_hard UNION ALL SELECT * FROM neg_rand)),
+            labeled AS (
+              SELECT *, 1 AS label FROM pos_hard
+              UNION ALL SELECT *, 1 AS label FROM pos_rand
+              UNION ALL SELECT *, 0 AS label FROM negatives)
+            SELECT id_l AS url_left, id_r AS url_right,
+                   text_l AS text_left, text_r AS text_right,
+                   lang_l AS lang_left, lang_r AS lang_right,
+                   cluster_l AS cluster_id_left, cluster_r AS cluster_id_right, label
+            FROM labeled
+        """,
+        # imbalanced totals mode: per-cluster quotas ceil(20/50)=1 pos /
+        # ceil(380/50)=8 neg (sf0.01: 500 docs -> 50 clusters of 10 —
+        # the correctness gate's fixed scale), then seeded global takes
+        # (md5 seeds 144/145) down to the exact 20/380 totals
+        "benchmark_imbalanced": f"""
+            WITH base AS (
+              SELECT doc_id AS id, text, lang, (doc_id // 10) AS cluster,
+                     CASE WHEN lang = 'zh'
+                          THEN list_transform(
+                                 generate_series(1, greatest(len(text) - 1, 1)),
+                                 i -> substring(text, i, 2))
+                          ELSE {toks} END AS tokens
+              FROM documents),
+            pos_all AS (
+              SELECT a.id AS id_l, b.id AS id_r, a.text AS text_l, b.text AS text_r,
+                     a.lang AS lang_l, b.lang AS lang_r,
+                     a.cluster AS cluster_l, b.cluster AS cluster_r,
+                     CASE WHEN len(list_distinct(list_concat(a.tokens, b.tokens))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                               / len(list_distinct(list_concat(a.tokens, b.tokens)))
+                     END AS jac
+              FROM base a JOIN base b ON a.cluster = b.cluster AND a.id < b.id),
+            pos_sel AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster_l
+                            ORDER BY jac ASC, id_l ASC, id_r ASC) AS rn_hard
+                FROM pos_all) WHERE rn_hard <= 1),
+            positives AS (
+              SELECT * FROM pos_sel
+              ORDER BY md5('144#' || id_l::VARCHAR || '#' || id_r::VARCHAR) ASC,
+                       id_l ASC, id_r ASC
+              LIMIT 20),
+            profiles AS (
+              SELECT cluster, list_sort(list_distinct(flatten(list(tokens)))) AS profile
+              FROM base GROUP BY cluster),
+            inv AS (SELECT cluster, len(profile) AS s, unnest(profile) AS tok
+                    FROM profiles),
+            sims AS (
+              SELECT c_a, c_b FROM (
+                SELECT c_a, c_b, row_number() OVER (PARTITION BY c_a
+                         ORDER BY (inter::DOUBLE / (s_a + s_b - inter)) DESC, c_b ASC)
+                         AS sim_rank
+                FROM (
+                  SELECT a.cluster AS c_a, b.cluster AS c_b, a.s AS s_a, b.s AS s_b,
+                         count(*) AS inter
+                  FROM inv a JOIN inv b ON a.tok = b.tok AND a.cluster <> b.cluster
+                  GROUP BY 1, 2, 3, 4))
+              WHERE sim_rank <= 3),
+            neg_all AS (
+              SELECT a.id AS id_l, b.id AS id_r, a.text AS text_l, b.text AS text_r,
+                     a.lang AS lang_l, b.lang AS lang_r,
+                     a.cluster AS cluster_l, b.cluster AS cluster_r,
+                     CASE WHEN len(list_distinct(list_concat(a.tokens, b.tokens))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                               / len(list_distinct(list_concat(a.tokens, b.tokens)))
+                     END AS jac
+              FROM base a JOIN sims s ON a.cluster = s.c_a
+              JOIN base b ON b.cluster = s.c_b
+              WHERE a.id < b.id),
+            neg_ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY cluster_l
+                          ORDER BY jac DESC, id_l ASC, id_r ASC) AS rn_hard
+              FROM neg_all),
+            neg_hard AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM neg_ranked WHERE rn_hard <= 4),
+            neg_rand AS (
+              SELECT id_l, id_r, text_l, text_r, lang_l, lang_r, cluster_l, cluster_r
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster_l
+                            ORDER BY md5('143#' || id_l::VARCHAR || '#' || id_r::VARCHAR)
+                                       ASC, id_l ASC, id_r ASC) AS rn_rand
+                FROM neg_ranked WHERE rn_hard > 4)
+              WHERE rn_rand <= 4),
+            negatives AS (
+              SELECT DISTINCT * FROM
+                (SELECT * FROM neg_hard UNION ALL SELECT * FROM neg_rand)
+              ORDER BY md5('145#' || id_l::VARCHAR || '#' || id_r::VARCHAR) ASC,
+                       id_l ASC, id_r ASC
+              LIMIT 380),
+            labeled AS (
+              SELECT *, 1 AS label FROM positives
               UNION ALL SELECT *, 0 AS label FROM negatives)
             SELECT id_l AS url_left, id_r AS url_right,
                    text_l AS text_left, text_r AS text_right,

@@ -19,7 +19,7 @@ import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, FloatType, LongType
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType
 
 _MAX_LONG = (1 << 63) - 1
 
@@ -153,24 +153,52 @@ def minhash_signature_py(tokens: list[str] | None, num_hashes: int = 64) -> list
     return [int(x) for x in mixed.min(axis=0).astype(np.int64)]
 
 
+def make_minhash_sig_udf(num_hashes: int = 64):
+    """Arrow-batched MinHash signature over a token/shingle array
+    column — the numpy affine-permutation path. The JVM alternative
+    (`minhash_signature`, an xxhash64 min-`aggregate`) evaluates
+    INTERPRETED per element (HOFs never enter whole-stage codegen) and
+    measured slower and worse-scaling on every corpus tried."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(tokens: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                minhash_signature_py(
+                    list(t) if t is not None else None, num_hashes
+                )
+                for t in tokens
+            ]
+        )
+
+    return _sig
+
+
 def make_prepare_udf(dim: int = 64, num_hashes: int = 64):
-    """One Arrow pass computing BOTH the hashing-trick embedding (over
-    the full token array — a matcher feature, must match training) and
-    the MinHash signature (over the hot-filtered blocking tokens) —
-    blocking then needs no per-token work at all (band keys are cheap
-    integer hashes over the signature slots)."""
+    """One Arrow pass computing the hashing-trick embedding (over the
+    full token array — a matcher feature, must match training), the
+    MinHash signature (over the hot-filtered blocking tokens) — blocking
+    then needs no per-token work at all (band keys are cheap integer
+    hashes over the signature slots) — and `th`, the SORTED UNIQUE
+    64-bit token hashes of the full token set. Scoring ships `th`
+    instead of the token strings: the pair shuffle carries 8-byte longs
+    instead of ~15-byte strings, and the feature UDF computes Jaccard
+    with a C-speed sorted-array intersect instead of building Python
+    string sets per pair (PyObject churn is memory-bandwidth-bound and
+    was the scoring stage's scaling bottleneck at high parallelism)."""
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType(
         [
             StructField("emb", ArrayType(FloatType())),
             StructField("sig", ArrayType(LongType())),
+            StructField("th", ArrayType(IntegerType())),
         ]
     )
 
     @F.pandas_udf(schema)
     def _prep(tokens: pd.Series, block_tokens: pd.Series) -> pd.DataFrame:
-        embs, sigs = [], []
+        embs, sigs, ths = [], [], []
         for toks, btoks in zip(tokens, block_tokens):
             tl = list(toks) if toks is not None else None
             v = np.zeros(dim, dtype=np.float64)
@@ -185,7 +213,18 @@ def make_prepare_udf(dim: int = 64, num_hashes: int = 64):
             sigs.append(
                 minhash_signature_py(list(btoks) if btoks is not None else None, num_hashes)
             )
-        return pd.DataFrame({"emb": embs, "sig": sigs})
+            if tl:
+                hs = np.fromiter(
+                    (_token_u64(t) for t in tl), dtype=np.uint64, count=len(tl)
+                )
+                # top 32 bits only: a ~100-token doc pair has ~1e-6 odds
+                # of any cross-collision in 2^32 — irrelevant for a
+                # similarity FEATURE — and the pair shuffle ships half
+                # the bytes of int64 hashes
+                ths.append(np.unique((hs >> np.uint64(32)).astype(np.int64)).astype(np.int32))
+            else:
+                ths.append(np.empty(0, dtype=np.int32))
+        return pd.DataFrame({"emb": embs, "sig": sigs, "th": ths})
 
     return _prep
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ember_spark.functions.hashing import lsh_band_keys, minhash_signature
+from ember_spark.functions.hashing import lsh_band_keys, make_minhash_sig_udf
 
 #: blocks larger than this emit no pairs (quadratic blowup guard);
 #: at web scale a hot shingle/domain block is almost always boilerplate.
@@ -107,8 +107,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs.
 
-    Either `tokens_col` (signature computed here via native xxhash64
-    min-agg) or `sig_col` (precomputed array<long> signature, e.g. from
+    Either `tokens_col` (signature computed here via the Arrow-batched
+    numpy MinHash — the JVM HOF min-agg is interpreted and slower) or
+    `sig_col` (precomputed array<long> signature, e.g. from
     `make_prepare_udf`'s single Arrow pass) must be given. Pipeline:
     signature -> band keys -> posexplode -> census-capped self-join per
     band bucket -> canonical dedup'd (id_l, id_r).
@@ -123,9 +124,10 @@ def lsh_candidate_pairs(
             F.element_at(F.col(sig_col), 1) != F.lit((1 << 63) - 1)
         ).select(F.col(id_col), F.col(sig_col).alias("sig"))
     else:
+        sig_udf = make_minhash_sig_udf(num_hashes)
         sig = df.filter(F.size(F.col(tokens_col)) > 0).select(
             F.col(id_col),
-            minhash_signature(F.col(tokens_col), num_hashes).alias("sig"),
+            sig_udf(F.col(tokens_col)).alias("sig"),
         )
     banded = sig.select(
         F.col(id_col),

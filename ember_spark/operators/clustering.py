@@ -101,7 +101,13 @@ def connected_components(
             df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # truncate the INPUT lineage once: `nodes` (read in the final
+    # assembly action) and the iteration-0 edge set both derive from
+    # this checkpoint — without it each reference re-executes the whole
+    # upstream pipeline (blocking + scoring) once more
+    raw = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = raw.select(F.col("src").alias("id")).union(
         raw.select(F.col("dst").alias("id"))
     ).distinct()

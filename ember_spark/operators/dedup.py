@@ -135,11 +135,13 @@ def minhash_lsh_dedup(
     tok_expr = tokenize_ws(F.col(text_col))
     sig_expr = word_shingles(tok_expr, shingle) if shingle > 1 else tok_expr
     verify_expr = sig_expr if verify_shingles else tok_expr
+    # three consumers (signature, verify-left, verify-right) — persist
+    # or the tokenize+shingle projection recomputes per reference
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(verify_expr).alias("tokens"),
         sig_expr.alias("sig_tokens"),
-    )
+    ).persist()
     cands = lsh_candidate_pairs(
         toks, "id", "sig_tokens", num_hashes=num_hashes, bands=bands, rows=rows, cap=cap
     )

@@ -98,17 +98,20 @@ def pair_features(
     )
 
 
-def make_pair_features_udf(max_len: int = 80):
-    """ONE Arrow batch UDF computing ALL pair features —
-    (f_jaccard, f_containment, f_jw, f_cos, f_len_ratio) — from the
-    pair payload. This is the north-star scoring shape ("score pairs
-    with batched Arrow/pandas UDFs computing Jaro-Winkler,
-    token-Jaccard, and sentence-embedding cosine features"): feature
-    work runs in Python worker PROCESSES, which scale with executors
-    (each brings its own workers), while the JVM side only shuffles the
-    pair payload. Inputs: text_l/r (strings, full or pre-truncated),
-    len_l/r (full text lengths), tok_l/r (token or hashed-token
-    arrays), emb_l/r (L2-normalized float arrays).
+def make_pair_text_features_udf(max_len: int = 80):
+    """ONE Arrow batch UDF computing the python-only pair features —
+    (f_jaccard, f_containment, f_jw) — from the pair payload. This is
+    the north-star scoring shape ("score pairs with batched Arrow/
+    pandas UDFs computing Jaro-Winkler + token-Jaccard features"):
+    feature work runs in Python worker PROCESSES, which scale with
+    executors (each brings its own workers). The embedding cosine and
+    length-ratio features stay JVM-side in whole-stage codegen
+    (`cosine_sim_fixed` static expansion) — shipping the embeddings
+    through the Arrow stream only to run one einsum cost more in JVM
+    Arrow serialization (GC pressure that stole python-worker CPU at
+    high parallelism) than the dot product is worth. Inputs: text_l/r
+    (strings, full or pre-truncated) and tok_l/r (token or hashed-token
+    arrays).
     """
     from pyspark.sql.types import StructField, StructType
 
@@ -119,50 +122,50 @@ def make_pair_features_udf(max_len: int = 80):
             StructField("f_jaccard", DoubleType()),
             StructField("f_containment", DoubleType()),
             StructField("f_jw", DoubleType()),
-            StructField("f_cos", DoubleType()),
-            StructField("f_len_ratio", DoubleType()),
         ]
     )
+
+    def _tok_overlap(a, b) -> tuple[int, int, int]:
+        """(inter, |a|, |b|) treating each side as a set. int64 arrays
+        (the `th` hashed-token payload, unique by construction) hit the
+        C-speed sorted-merge intersect; anything else falls back to
+        Python sets. The set-building fallback touches one PyObject per
+        token — memory-bandwidth-bound and the scoring stage's original
+        scaling bottleneck, which is why `prepare` pre-hashes."""
+        if a is None or b is None:
+            la = 0 if a is None else len(a)
+            lb = 0 if b is None else len(b)
+            return 0, la, lb
+        aa = np.asarray(a)
+        if aa.dtype.kind in "iu":
+            bb = np.asarray(b)
+            inter = np.intersect1d(aa, bb, assume_unique=True).size
+            return inter, aa.size, bb.size
+        sa, sb = set(a), set(b)
+        return len(sa & sb), len(sa), len(sb)
 
     @F.pandas_udf(schema)
     def _feats(
         text_l: pd.Series, text_r: pd.Series,
-        len_l: pd.Series, len_r: pd.Series,
         tok_l: pd.Series, tok_r: pd.Series,
-        emb_l: pd.Series, emb_r: pd.Series,
     ) -> pd.DataFrame:
         n = len(text_l)
         jac = np.zeros(n)
         cont = np.zeros(n)
         jw = np.zeros(n)
         for i in range(n):
-            a = set(tok_l.iloc[i]) if tok_l.iloc[i] is not None else set()
-            b = set(tok_r.iloc[i]) if tok_r.iloc[i] is not None else set()
-            inter = len(a & b)
-            union = len(a) + len(b) - inter
+            inter, la, lb = _tok_overlap(tok_l.iloc[i], tok_r.iloc[i])
+            union = la + lb - inter
             jac[i] = inter / union if union else 0.0
-            mn = min(len(a), len(b))
+            mn = min(la, lb)
             cont[i] = inter / mn if mn else 0.0
             ta, tb = text_l.iloc[i], text_r.iloc[i]
             jw[i] = jaro_winkler_py(
                 ta if ta is None else ta[:max_len],
                 tb if tb is None else tb[:max_len],
             )
-        el = np.stack([np.asarray(e, dtype=np.float64) for e in emb_l])
-        er = np.stack([np.asarray(e, dtype=np.float64) for e in emb_r])
-        cos = np.einsum("ij,ij->i", el, er)  # inputs are unit vectors
-        ll = len_l.to_numpy(dtype=np.float64)
-        lr = len_r.to_numpy(dtype=np.float64)
-        mx = np.maximum(ll, lr)
-        ratio = np.where(mx == 0, 1.0, np.minimum(ll, lr) / np.where(mx == 0, 1.0, mx))
         return pd.DataFrame(
-            {
-                "f_jaccard": jac,
-                "f_containment": cont,
-                "f_jw": jw,
-                "f_cos": cos,
-                "f_len_ratio": ratio,
-            }
+            {"f_jaccard": jac, "f_containment": cont, "f_jw": jw}
         )
 
     return _feats
@@ -216,22 +219,37 @@ class LogisticMatcher:
     def calibrate_threshold(self, X: np.ndarray, y: np.ndarray) -> float:
         """Pick the decision threshold maximizing F1 on the training
         sample (the reference tunes via val/f1 early-stopping — same
-        spirit, `matcher.py:53-58`)."""
+        spirit, `matcher.py:53-58`).
+
+        On near-separable training data a PLATEAU of thresholds attains
+        the max F1; taking the first (lowest) one puts the boundary a
+        hair above the hardest training negative — a knife edge that
+        over-predicts on held-out data (measured: threshold 0.095 with
+        63 held-out false positives, vs 0 at the margin midpoint). So:
+        candidates include the MIDPOINTS between adjacent observed
+        scores (the max-margin points), and among all max-F1 candidates
+        the one nearest the M4 contract's 0.5 wins — a centered
+        boundary with the same train F1."""
         z = np.asarray(X, dtype=np.float64) @ np.array(self.weights) + self.bias
         p = 1.0 / (1.0 + np.exp(-z))
-        best_t, best_f1 = 0.5, -1.0
-        for t in np.unique(np.round(p, 3)):
+        scores = np.unique(np.round(p, 3))
+        mids = (scores[:-1] + scores[1:]) / 2.0 if len(scores) > 1 else scores
+        cands = np.unique(np.concatenate([scores, mids, [0.5]]))
+        f1s = np.empty(len(cands))
+        for i, t in enumerate(cands):
             pred = p > t
             tp = float(((pred == 1) & (y == 1)).sum())
             fp = float(((pred == 1) & (y == 0)).sum())
             fn = float(((pred == 0) & (y == 1)).sum())
             prec = tp / (tp + fp) if tp + fp else 0.0
             rec = tp / (tp + fn) if tp + fn else 0.0
-            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
-            if f1 > best_f1:
-                best_f1, best_t = f1, float(t)
-        self.threshold = best_t
-        return best_t
+            f1s[i] = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        best = f1s.max() if len(f1s) else 0.0
+        plateau = cands[f1s >= best - 1e-12]
+        self.threshold = (
+            float(plateau[np.abs(plateau - 0.5).argmin()]) if len(plateau) else 0.5
+        )
+        return self.threshold
 
     # -------------------------------------------------------- inference
     def score_col(self):

@@ -34,7 +34,7 @@ from ember_spark.operators.scoring import (
     FEATURES_CHEAP,
     CascadeMatcher,
     LogisticMatcher,
-    make_pair_features_udf,
+    make_pair_text_features_udf,
     pair_features,
 )
 
@@ -181,6 +181,7 @@ class ERPipeline:
                 "block_tokens",
                 F.col("_prep.emb").alias("emb"),
                 F.col("_prep.sig").alias("sig"),
+                F.col("_prep.th").alias("th"),
             )
         )
 
@@ -247,15 +248,19 @@ class ERPipeline:
         # FULL pre-truncation length so f_len_ratio sees the same
         # distribution at inference as at training (no train/serve skew)
         id_col = "rid" if "rid" in prepared.columns else "url"
+        # arrow mode ships the hashed token set (8-byte longs, C-speed
+        # intersect in the UDF); the JVM feature modes need the strings
+        use_th = self.cfg.feature_mode == "arrow" and "th" in prepared.columns
+        tok_col = "th" if use_th else "tokens"
         slim = prepared.select(
             id_col,
             F.substring("text", 1, 80).alias("text"),
             F.length("text").cast("double").alias("text_len"),
-            "tokens",
+            tok_col,
             "emb",
         )
         withpay = attach_pair_payload(
-            pairs, slim, id_col, ["text", "text_len", "tokens", "emb"],
+            pairs, slim, id_col, ["text", "text_len", tok_col, "emb"],
             broadcast_payload=self.cfg.broadcast_payload,
         )
         # optional skew-key salting: spread any hot key's pairs before
@@ -264,16 +269,29 @@ class ERPipeline:
             withpay = salted_repartition(withpay, "id_l", "id_r", parts, self.cfg.salt)
         out_cols = ["id_l", "id_r", *FEATURES, "score", "prediction"]
         if self.cfg.feature_mode == "arrow":
-            feats_udf = make_pair_features_udf()
+            from ember_spark.functions.similarity import cosine_sim_fixed
+
+            feats_udf = make_pair_text_features_udf()
+            mx = F.greatest("text_len_l", "text_len_r")  # full-text lens
+            mn = F.least("text_len_l", "text_len_r")
             feats = withpay.withColumn(
                 "_f",
                 feats_udf(
                     F.col("text_l"), F.col("text_r"),
-                    F.col("text_len_l"), F.col("text_len_r"),
-                    F.col("tokens_l"), F.col("tokens_r"),
-                    F.col("emb_l"), F.col("emb_r"),
+                    F.col(f"{tok_col}_l"), F.col(f"{tok_col}_r"),
                 ),
-            ).select("id_l", "id_r", *[F.col(f"_f.{f}").alias(f) for f in FEATURES])
+            ).select(
+                "id_l",
+                "id_r",
+                F.col("_f.f_jaccard").alias("f_jaccard"),
+                F.col("_f.f_containment").alias("f_containment"),
+                F.col("_f.f_jw").alias("f_jw"),
+                cosine_sim_fixed(
+                    F.col("emb_l"), F.col("emb_r"),
+                    self.cfg.embedding_dim, normalized=True,
+                ).alias("f_cos"),
+                F.when(mx == 0, F.lit(1.0)).otherwise(mn / mx).alias("f_len_ratio"),
+            )
             return self.cfg.matcher.predict(feats).select(*out_cols)
         if not self.cfg.use_cascade or self.cfg.feature_mode == "native":
             feats = pair_features(
@@ -370,8 +388,17 @@ class ERPipeline:
 
         docs = stage("extract", lambda: self.extract(pages))
         prepared = stage("prepare", lambda: self.prepare(docs))
+        if self.manifest is None:
+            # downstream stages reference `prepared` three times
+            # (block, score payload, cluster's singleton/url joins) and
+            # `scored` twice — without a manifest materializing stages,
+            # persist (MEMORY_AND_DISK) or each reference re-runs the
+            # upstream pipeline
+            prepared = prepared.persist()
         pairs = stage("block", lambda: self.block(prepared))
         scored = stage("score", lambda: self.score(pairs, prepared))
+        if self.manifest is None:
+            scored = scored.persist()
         entities = stage("entities", lambda: self.cluster(scored, prepared))
         return {
             "docs": docs,

@@ -49,6 +49,12 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(n, 8)
 
+    # honest core budgeting for pinned scaling runs: with taskset -c
+    # 0-{N-1} the JVM still SEES all host CPUs and sizes GC/netty pools
+    # for them, thrashing inside the pinned set. ActiveProcessorCount
+    # makes the JVM behave like an N-core machine (= a real N-core
+    # executor container).
+    apc = os.environ.get("EMBER_APC")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -63,6 +69,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if apc:
+        b = b.config(
+            "spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={apc}"
+        )
     # Local mode funnels every shuffle through one disk, which caps core
     # scaling artificially (a real cluster has per-executor local SSDs
     # that scale with the executor count). Use tmpfs for shuffle spill
@@ -82,6 +92,14 @@ def get_spark(
             b = b.config("spark.local.dir", shm)
         except OSError:
             pass
+    # ad-hoc conf overrides for experiments / site tuning:
+    #   EMBER_EXTRA_CONF="spark.x=1;spark.y=2"
+    env_extra = os.environ.get("EMBER_EXTRA_CONF")
+    if env_extra:
+        for kv in env_extra.split(";"):
+            if "=" in kv:
+                k, _, v = kv.partition("=")
+                b = b.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

@@ -41,14 +41,16 @@ def main() -> None:
     prepared.count()
     pairs = pipe.block(prepared).persist()
     n_pairs = pairs.count()
+    # pairs carry whatever id the pipeline blocks on (rid when present)
+    idc = "rid" if "rid" in prepared.columns else "url"
     slim = prepared.select(
-        "url", F.substring("text", 1, 80).alias("text"), "tokens", "emb"
+        idc, F.substring("text", 1, 80).alias("text"), "tokens", "emb"
     )
     payload = ["text", "tokens", "emb"]
 
     t0 = time.time()
     n1 = attach_pair_payload(
-        pairs, slim, "url", payload, broadcast_payload=False
+        pairs, slim, idc, payload, broadcast_payload=False
     ).count()
     shuffle_sec = time.time() - t0
 
@@ -56,7 +58,7 @@ def main() -> None:
     try:
         t0 = time.time()
         bucketed = attach_pair_payload_bucketed(
-            pairs, slim, "url", payload, buckets=32,
+            pairs, slim, idc, payload, buckets=32,
             table_prefix="bb_bench", location=loc,
         )
         n2 = bucketed.count()  # includes the one-time bucketed writes
@@ -64,13 +66,13 @@ def main() -> None:
         t0 = time.time()
         n3 = spark.table("bb_bench_pairs").join(
             spark.table("bb_bench_corpus").select(
-                F.col("url").alias("id_l"),
+                F.col(idc).alias("id_l"),
                 *[F.col(c).alias(f"{c}_l") for c in payload],
             ),
             "id_l",
         ).join(
             spark.table("bb_bench_corpus").select(
-                F.col("url").alias("id_r"),
+                F.col(idc).alias("id_r"),
                 *[F.col(c).alias(f"{c}_r") for c in payload],
             ),
             "id_r",

@@ -76,6 +76,11 @@ def main() -> int:
     p = plan_of(qs["ann_lsh_topk"](spark, SF))
     ok &= check("no_cartesian_in_ann_lsh", "CartesianProduct" not in p)
 
+    # benchmark builder: cluster-profile similarity + pair sampling are
+    # keyed joins + windows — never a cross join
+    p = plan_of(qs["benchmark_rl_pairs"](spark, SF))
+    ok &= check("no_cartesian_in_benchmark", "CartesianProduct" not in p)
+
     print("ALL OK" if ok else "AUDIT FAILURES")
     return 0 if ok else 1
 

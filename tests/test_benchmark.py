@@ -87,6 +87,108 @@ def test_benchmark_trains_matcher_to_gate(spark, records, bench_pairs):
     assert m["f1"] >= 0.99, m
 
 
+@pytest.fixture(scope="module")
+def suite(spark, records):
+    """Small-scale full 10-dataset suite (ref build_datasets):
+    20 main + 8 new clusters, 60/40 record split, 8 pairs/cluster,
+    1:19 imbalanced totals."""
+    from ember_spark.operators.benchmark import build_benchmark_suite
+
+    s = build_benchmark_suite(
+        records,
+        n_main_clusters=20,
+        n_extra_clusters=8,
+        min_cluster_size=4,
+        num_pairs=8,
+        rl_num_pairs=4,
+        om_num_pairs=4,
+        imbalance_pos=10,
+        imbalance_neg=190,
+        top_similar=3,
+        seed=142,
+    )
+    return {k: df.cache() for k, df in s.items()}
+
+
+def test_suite_has_all_reference_datasets(suite):
+    assert set(suite) == {
+        "train", "val", "test", "test_rl", "test_cfm", "test_om",
+        "test_i", "test_irl", "test_icfm", "test_iom",
+    }
+
+
+def test_suite_split_disjointness(spark, records, suite):
+    """main/extra clusters disjoint; RL pairs bridge main records (left)
+    to extra records (right); OM pairs live entirely in extra clusters
+    never seen by train."""
+    train_clusters = {
+        r["cluster_id_left"] for r in suite["train"].collect()
+    } | {r["cluster_id_right"] for r in suite["train"].collect()}
+    om_clusters = {
+        r["cluster_id_left"] for r in suite["test_om"].collect()
+    } | {r["cluster_id_right"] for r in suite["test_om"].collect()}
+    assert train_clusters and om_clusters
+    assert train_clusters.isdisjoint(om_clusters)
+    # train/val/test pairwise disjoint and together = the core dataset
+    keys = {
+        k: {(r["url_left"], r["url_right"]) for r in suite[k].collect()}
+        for k in ["train", "val", "test"]
+    }
+    assert keys["train"].isdisjoint(keys["val"])
+    assert keys["train"].isdisjoint(keys["test"])
+    assert keys["val"].isdisjoint(keys["test"])
+    # RL: left side records never appear as a right side (disjoint
+    # record split inside each cluster)
+    rl = suite["test_rl"].collect()
+    lefts = {r["url_left"] for r in rl}
+    rights = {r["url_right"] for r in rl}
+    assert lefts.isdisjoint(rights)
+
+
+def test_suite_label_semantics_and_ratios(suite):
+    """Every dataset: label == same-cluster; imbalanced sets hit their
+    exact totals (supply permitting) with pos << neg."""
+    for name, df in suite.items():
+        for r in df.select(
+            "cluster_id_left", "cluster_id_right", "label"
+        ).collect():
+            same = r["cluster_id_left"] == r["cluster_id_right"]
+            assert r["label"] == (1 if same else 0), name
+    pos_i = suite["test_i"].filter("label = 1").count()
+    neg_i = suite["test_i"].filter("label = 0").count()
+    assert pos_i == 10
+    # negatives are capped by per-cluster candidate supply after the
+    # train/val exclusion; the global take enforces AT MOST the total
+    assert 100 <= neg_i <= 190, neg_i
+
+
+def test_suite_imbalanced_excludes_train(suite):
+    """test_i must not reuse any train/val pair (ref excluded_pairs,
+    build_ali_dataset.py:311-315)."""
+    tv = {
+        (r["url_left"], r["url_right"])
+        for k in ["train", "val"]
+        for r in suite[k].collect()
+    }
+    ti = {(r["url_left"], r["url_right"]) for r in suite["test_i"].collect()}
+    assert ti.isdisjoint(tv)
+
+
+def test_suite_deterministic(spark, records):
+    """Same seed -> byte-identical val split (windows over seeded md5
+    keys everywhere; no rand())."""
+    from ember_spark.operators.benchmark import build_benchmark_suite
+
+    kw = dict(
+        n_main_clusters=6, n_extra_clusters=2, min_cluster_size=4,
+        num_pairs=4, rl_num_pairs=4, om_num_pairs=4,
+        imbalance_pos=4, imbalance_neg=16, top_similar=2, seed=7,
+    )
+    a = sorted(map(tuple, build_benchmark_suite(records, **kw)["val"].collect()))
+    b = sorted(map(tuple, build_benchmark_suite(records, **kw)["val"].collect()))
+    assert a == b and len(a) > 0
+
+
 def test_similar_clusters_topn(spark, records):
     """Sibling entities (same token family, FAMILY_SIZE=8) must dominate
     each cluster's most-similar list."""

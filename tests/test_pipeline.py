@@ -96,6 +96,35 @@ def test_matcher_f1_on_labeled_pairs(spark):
     assert m_test["f1"] >= 0.99, m_test
 
 
+def test_arrow_features_match_jvm_features(spark, corpus):
+    """The arrow scoring path (hashed-token intersect in python +
+    codegen cosine/len-ratio) must produce the same feature values as
+    the JVM `pair_features` path on the same pairs — train (JVM
+    featurizer) and serve (arrow) see one feature distribution.
+    f_jaccard/f_containment may differ only on 32-bit hash collisions
+    (none at this scale); f_cos/f_len_ratio/f_jw are same-source."""
+    from ember_spark.plans.pipeline import PipelineConfig
+
+    pages, _ = split_labels(corpus)
+    pipe_a = ERPipeline(spark, PipelineConfig(feature_mode="arrow"))
+    pipe_n = ERPipeline(spark, PipelineConfig(feature_mode="native", use_cascade=False))
+    prepared = pipe_a.prepare(pipe_a.extract(pages)).cache()
+    pairs = pipe_a.block(prepared).cache()
+    fa = {
+        (r["id_l"], r["id_r"]): r
+        for r in pipe_a.score(pairs, prepared).collect()
+    }
+    fn = {
+        (r["id_l"], r["id_r"]): r
+        for r in pipe_n.score(pairs, prepared).collect()
+    }
+    assert set(fa) == set(fn) and fa
+    for k, ra in fa.items():
+        rn = fn[k]
+        for f in ["f_jaccard", "f_containment", "f_jw", "f_cos", "f_len_ratio"]:
+            assert abs(ra[f] - rn[f]) < 1e-9, (k, f, ra[f], rn[f])
+
+
 def test_pipeline_cascade_mode_recovers_clusters(spark, corpus):
     """feature_mode='cascade' (JVM features + cheap-model gate in front
     of Python JW) must hit the same F1 gate as the default arrow mode."""
