@@ -507,6 +507,10 @@ def q_benchmark_pairs(spark, sf):
         neg_per_cluster=6,
         top_similar=3,
         seed=142,
+        # hot-token guard on the inverted profile index: tokens present
+        # in more than 60 cluster profiles add ~no discrimination but
+        # quadratic candidate fanout (mirrored in the SQL oracle)
+        max_token_df=60,
     )
 
 
@@ -1020,7 +1024,11 @@ def oracle_sql() -> dict[str, str]:
             profiles AS (
               SELECT cluster, list_sort(list_distinct(flatten(list(tokens)))) AS profile
               FROM base GROUP BY cluster),
-            inv AS (SELECT cluster, len(profile) AS s, unnest(profile) AS tok FROM profiles),
+            inv0 AS (SELECT cluster, len(profile) AS s, unnest(profile) AS tok FROM profiles),
+            inv AS (
+              SELECT cluster, s, tok FROM (
+                SELECT *, count(*) OVER (PARTITION BY tok) AS tok_df FROM inv0)
+              WHERE tok_df <= 60),
             sims AS (
               SELECT c_a, c_b FROM (
                 SELECT c_a, c_b, row_number() OVER (PARTITION BY c_a

@@ -1,0 +1,148 @@
+"""Streaming incremental entity resolution: assign newly ingested pages
+to existing entities — or flag them as new — without re-running the
+batch pipeline over the whole corpus.
+
+The reference has no streaming at all (SURVEY.md §2.10); a continuously
+crawled corpus needs exactly this operator: the batch ER pipeline
+(`ERPipeline`) resolves the historical corpus once, and every new page
+is then blocked + scored ONLY against its LSH band collisions.
+
+Spark-first shape — no foreachBatch, the whole flow is one incremental
+plan:
+
+- stream side: the SAME prepare Arrow UDF as the batch pipeline
+  (tokens -> embedding + MinHash signature + hashed token set), then
+  `posexplode` of the banded signature keys,
+- static side: the resolved corpus, banded once with the same keys
+  (`band_corpus`) — a stream-static equi-join on the band key is
+  natively supported by Structured Streaming and broadcasts/reuses the
+  static side per micro-batch,
+- features + matcher score exactly as the batch scorer (hashed-token
+  Jaccard/containment + Jaro-Winkler in one Arrow batch UDF; cosine and
+  length-ratio in whole-stage codegen), so stream and batch scores are
+  IDENTICAL for the same pair,
+- one windowed aggregation with a watermark picks arg-max entity per
+  page (`max_by`), emitting (url, entity_id | NULL, best_score) when
+  the window closes; NULL entity_id = no band collision scored above
+  the threshold -> the page starts a new entity.
+
+State is bounded by the watermark (one group per page per window); the
+static banded corpus is the only large operand and it is read-only.
+Periodically fold the accumulated new pages into the corpus with the
+batch pipeline and restart the stream — the standard lambda handoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ember_spark.functions.hashing import lsh_band_keys, make_prepare_udf
+from ember_spark.functions.similarity import cosine_sim_fixed
+from ember_spark.operators.scoring import LogisticMatcher, make_pair_text_features_udf
+from ember_spark.functions.tokenize import tokenize_auto
+
+
+def band_corpus(
+    prepared: DataFrame,
+    entities: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """Static side: one row per (band key, corpus doc) with the scoring
+    payload and the doc's resolved entity id. Build once from the batch
+    pipeline's `prepared` + `entities` outputs and persist/bucket it."""
+    ent = entities.select("url", "entity_id")
+    return (
+        prepared.join(ent, "url")
+        .select(
+            F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band_key"),
+            F.col("rid").alias("c_rid"),
+            F.col("entity_id"),
+            F.substring("text", 1, 80).alias("c_text"),
+            F.length("text").cast("double").alias("c_len"),
+            F.col("th").alias("c_th"),
+            F.col("emb").alias("c_emb"),
+        )
+    )
+
+
+def streaming_entity_assign(
+    pages: DataFrame,
+    banded_corpus: DataFrame,
+    matcher: LogisticMatcher,
+    embedding_dim: int = 64,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+    ts_col: str = "warc_ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """pages stream (url, warc_ts, text, lang) -> assignment stream
+    (window, url, entity_id nullable, best_score nullable)."""
+    prep = make_prepare_udf(embedding_dim, num_hashes)
+    s = (
+        pages.withColumn("tokens", tokenize_auto(F.col("text"), F.col("lang")))
+        # no corpus-wide hot-token census on a stream: the blocking
+        # token set is the full token set (the static corpus's census
+        # already bounded ITS band buckets; a stream-side hot token can
+        # only fan out into capped corpus buckets)
+        .withColumn("_p", prep(F.col("tokens"), F.col("tokens")))
+        .select(
+            F.col(ts_col).alias("ts"),
+            "url",
+            F.substring("text", 1, 80).alias("s_text"),
+            F.length("text").cast("double").alias("s_len"),
+            F.col("_p.th").alias("s_th"),
+            F.col("_p.emb").alias("s_emb"),
+            F.explode(lsh_band_keys(F.col("_p.sig"), bands, rows)).alias("band_key"),
+        )
+    )
+    cands = s.join(banded_corpus, "band_key", "left_outer")
+    feats_udf = make_pair_text_features_udf()
+    mx = F.greatest("s_len", "c_len")
+    mn = F.least("s_len", "c_len")
+    scored = (
+        cands.withColumn(
+            "_f",
+            feats_udf(F.col("s_text"), F.col("c_text"), F.col("s_th"), F.col("c_th")),
+        )
+        .select(
+            "ts",
+            "url",
+            "entity_id",
+            F.col("_f.f_jaccard").alias("f_jaccard"),
+            F.col("_f.f_containment").alias("f_containment"),
+            F.col("_f.f_jw").alias("f_jw"),
+            cosine_sim_fixed(
+                F.col("s_emb"), F.col("c_emb"), embedding_dim, normalized=True
+            ).alias("f_cos"),
+            F.when(mx.isNull() | (mx == 0), F.lit(0.0))
+            .otherwise(mn / mx)
+            .alias("f_len_ratio"),
+        )
+    )
+    scored = scored.withColumn(
+        "score",
+        F.when(F.col("entity_id").isNull(), F.lit(None).cast("double")).otherwise(
+            matcher.score_col()
+        ),
+    )
+    agg = (
+        scored.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "url")
+        .agg(
+            F.max_by("entity_id", "score").alias("best_entity"),
+            F.max("score").alias("best_score"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "url",
+        F.when(F.col("best_score") >= threshold, F.col("best_entity")).alias(
+            "entity_id"
+        ),
+        "best_score",
+    )

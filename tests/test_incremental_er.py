@@ -1,0 +1,98 @@
+"""Streaming incremental ER: new pages stream in, get blocked + scored
+against the static resolved corpus via a stream-static band join, and
+are assigned to an existing entity (or NULL = new entity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ember_spark.fixtures import generate_pages, split_labels
+from ember_spark.plans.pipeline import ERPipeline
+from ember_spark.streaming.incremental_er import band_corpus, streaming_entity_assign
+
+
+@pytest.fixture(scope="module")
+def resolved(spark):
+    """Batch-resolved corpus: prepared + entities + a fitted matcher."""
+    pages, labels = split_labels(generate_pages(spark, 120, seed=142).cache())
+    pipe = ERPipeline(spark)
+    out = pipe.run(pages)
+    prepared = out["prepared"].cache()
+    entities = out["entities"].cache()
+    prepared.count(), entities.count()
+    return pipe, prepared, entities, pages, labels
+
+
+def test_streaming_assign_matches_batch_entities(spark, resolved, tmp_path):
+    pipe, prepared, entities, pages, labels = resolved
+    banded = band_corpus(
+        prepared, entities, bands=pipe.cfg.bands, rows=pipe.cfg.rows
+    ).cache()
+    banded.count()
+
+    # stream = copies of existing pages under NEW urls (must be
+    # assigned to the entity of their source page) + a gibberish page
+    # sharing no tokens with the corpus (must come out NULL = new)
+    sample = pages.limit(8).collect()
+    stream_rows = [
+        (r["warc_ts"], f"stream://{i}", r["text"], r["lang"])
+        for i, r in enumerate(sample)
+    ]
+    stream_rows.append(
+        (sample[0]["warc_ts"], "stream://novel", "zzqx9 vvkw7 qqpl3 mmnr5", "en")
+    )
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        stream_rows, "warc_ts timestamp, url string, text string, lang string"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "warc_ts timestamp, url string, text string, lang string"
+    ).parquet(src)
+    assigned = streaming_entity_assign(
+        stream,
+        banded,
+        pipe.cfg.matcher,
+        embedding_dim=pipe.cfg.embedding_dim,
+        num_hashes=pipe.cfg.num_hashes,
+        bands=pipe.cfg.bands,
+        rows=pipe.cfg.rows,
+    )
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("incr_er")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["url"]: (r["entity_id"], r["best_score"])
+            for r in spark.table("incr_er").collect()
+        }
+    finally:
+        q.stop()
+
+    assert len(got) == len(stream_rows)
+    # copied pages -> same entity the batch pipeline gave their source
+    ent_of = {r["url"]: r["entity_id"] for r in entities.collect()}
+    for i, r in enumerate(sample):
+        eid, score = got[f"stream://{i}"]
+        assert eid == ent_of[r["url"]], (i, eid, ent_of[r["url"]], score)
+        assert score is not None and score >= 0.5
+    # gibberish page -> no entity
+    eid, score = got["stream://novel"]
+    assert eid is None
+
+
+def test_streaming_plan_is_arrow_only(spark, resolved, tmp_path):
+    """The incremental plan must carry no row-wise Python either."""
+    pipe, prepared, entities, pages, _ = resolved
+    banded = band_corpus(prepared, entities)
+    src = str(tmp_path / "plan_src")
+    pages.limit(1).select("warc_ts", "url", "text", "lang").write.parquet(src)
+    stream = spark.readStream.schema(
+        "warc_ts timestamp, url string, text string, lang string"
+    ).parquet(src)
+    assigned = streaming_entity_assign(stream, banded, pipe.cfg.matcher)
+    plan = assigned._jdf.queryExecution().analyzed().toString()
+    assert "BatchEvalPython" not in plan
