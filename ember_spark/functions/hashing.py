@@ -220,8 +220,11 @@ def make_prepare_udf(dim: int = 64, num_hashes: int = 64):
                 # top 32 bits only: a ~100-token doc pair has ~1e-6 odds
                 # of any cross-collision in 2^32 — irrelevant for a
                 # similarity FEATURE — and the pair shuffle ships half
-                # the bytes of int64 hashes
-                ths.append(np.unique((hs >> np.uint64(32)).astype(np.int64)).astype(np.int32))
+                # the bytes of int64 hashes. unique AFTER the int32
+                # cast, so the array is genuinely sorted in int32 order
+                # (unique-then-cast would wrap >=2^31 values negative
+                # and break the documented sortedness)
+                ths.append(np.unique((hs >> np.uint64(32)).astype(np.int64).astype(np.int32)))
             else:
                 ths.append(np.empty(0, dtype=np.int32))
         return pd.DataFrame({"emb": embs, "sig": sigs, "th": ths})

@@ -350,7 +350,16 @@ def split_clusters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_cluster_size)
     )
-    ordered = sizes.withColumn(
+    # two-phase: the seeded orderBy+limit plans as a DISTRIBUTED
+    # TakeOrdered (per-partition top-k, then merge) — a bare global
+    # row_number window would funnel EVERY cluster through one task.
+    # Only the selected n_main+n_extra rows (a few hundred) then pass
+    # through the single-partition ranking window, which reproduces the
+    # same total order, so the main/extra labels are identical.
+    selected = sizes.orderBy(
+        _md5_order(seed, "cluster_id").asc(), F.col("cluster_id").asc()
+    ).limit(n_main + n_extra)
+    ordered = selected.withColumn(
         "rn",
         F.row_number().over(
             Window.orderBy(
@@ -358,7 +367,7 @@ def split_clusters(
             )
         ),
     )
-    return ordered.filter(F.col("rn") <= n_main + n_extra).select(
+    return ordered.select(
         "cluster_id",
         F.when(F.col("rn") <= n_main, F.lit("main")).otherwise(F.lit("extra")).alias(
             "cluster_split"

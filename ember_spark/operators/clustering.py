@@ -86,18 +86,33 @@ def connected_components(
     localCheckpoint blocks live on executors and die with one, which on
     a real multi-executor cluster would fail an hours-long CC job near
     the end; with a checkpoint dir the loop also RESUMES from the last
-    completed iteration after a driver restart.
+    completed iteration after a driver restart. Iteration files live
+    under an input-fingerprint subdirectory (the edge plan's semantic
+    hash), so rerunning with a DIFFERENT graph at the same root can
+    never serve the previous graph's iterations; existence checks go
+    through the Hadoop FileSystem API, so hdfs:///s3a:// roots work,
+    not just the driver's local disk.
     """
     spark = edges.sparkSession
+
+    if checkpoint_dir is not None:
+        try:
+            in_fp = f"{edges.semanticHash() & 0xFFFFFFFF:08x}"
+        except Exception:
+            in_fp = "nofp"
+        ckpt_root = f"{checkpoint_dir}/{in_fp}"
+        hconf = spark._jsc.hadoopConfiguration()
+        jvm = spark._jvm
+
+        def _hdfs_exists(p: str) -> bool:
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            return hp.getFileSystem(hconf).exists(hp)
 
     def persist_iter(df: DataFrame, it: int) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=False)
-        path = f"{checkpoint_dir}/cc_iter_{it:03d}"
-        done = f"{path}/_SUCCESS"
-        import os
-
-        if not os.path.exists(done):
+        path = f"{ckpt_root}/cc_iter_{it:03d}"
+        if not _hdfs_exists(f"{path}/_SUCCESS"):
             df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 

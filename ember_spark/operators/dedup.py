@@ -135,13 +135,19 @@ def minhash_lsh_dedup(
     tok_expr = tokenize_ws(F.col(text_col))
     sig_expr = word_shingles(tok_expr, shingle) if shingle > 1 else tok_expr
     verify_expr = sig_expr if verify_shingles else tok_expr
-    # three consumers (signature, verify-left, verify-right) — persist
-    # or the tokenize+shingle projection recomputes per reference
+    # three consumers (signature, verify-left, verify-right) — truncate
+    # the tokenize+shingle lineage once or it recomputes per reference.
+    # EAGER localCheckpoint, not persist(): persist'd plans stay in the
+    # session CacheManager until an explicit unpersist (a storage leak
+    # for library callers), while checkpoint blocks are released by the
+    # ContextCleaner when the returned DataFrame is dropped; eager
+    # because concurrent join legs convoy on a lazy checkpoint's
+    # block-store locks (see blocking._pairs_from_keys).
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(verify_expr).alias("tokens"),
         sig_expr.alias("sig_tokens"),
-    ).persist()
+    ).localCheckpoint()
     cands = lsh_candidate_pairs(
         toks, "id", "sig_tokens", num_hashes=num_hashes, bands=bands, rows=rows, cap=cap
     )
@@ -250,11 +256,12 @@ def embedding_neardup(
     # (id, key) only through the explode + self-join: the embedding
     # payload re-attaches per verified candidate, keeping the banded
     # shuffle narrow. localCheckpoint so the Arrow matmul runs once,
-    # not once per self-join side.
-    banded = (
-        base.select("id", F.explode(keys_udf(F.col("e"))).alias("block_key"))
-        .localCheckpoint(eager=False)
-    )
+    # not once per self-join side — EAGER, because the two self-join
+    # legs scan it concurrently and convoy on a lazy checkpoint's
+    # block-store locks (see blocking._pairs_from_keys).
+    banded = base.select(
+        "id", F.explode(keys_udf(F.col("e"))).alias("block_key")
+    ).localCheckpoint()
     banded = cap_hot_blocks(banded, "block_key", cap)
     left = banded.select("block_key", F.col("id").alias("id_l"))
     right = banded.select("block_key", F.col("id").alias("id_r"))

@@ -185,6 +185,16 @@ class ERPipeline:
             )
         )
 
+    def hot_token_list(self, docs: DataFrame) -> list[str]:
+        """The corpus-hot tokens `prepare` removes from the blocking
+        token set — public so consumers that must block COMPATIBLY with
+        this corpus's signatures (e.g. `streaming_entity_assign`) can
+        filter identically."""
+        base = docs.select(
+            "url", tokenize_auto(F.col("text"), F.col("lang")).alias("tokens")
+        )
+        return self._hot_tokens(base)
+
     def _hot_tokens(self, base: DataFrame) -> list[str]:
         if not self.cfg.hot_token_df_frac:
             return []

@@ -75,21 +75,35 @@ def streaming_entity_assign(
     num_hashes: int = 64,
     bands: int = 16,
     rows: int = 4,
-    threshold: float = 0.5,
+    threshold: float | None = None,
     ts_col: str = "warc_ts",
     window: str = "10 minutes",
     watermark: str = "30 minutes",
+    hot_tokens: list[str] | None = None,
 ) -> DataFrame:
     """pages stream (url, warc_ts, text, lang) -> assignment stream
-    (window, url, entity_id nullable, best_score nullable)."""
+    (window, url, entity_id nullable, best_score nullable).
+
+    `threshold` defaults to the matcher's CALIBRATED threshold so the
+    stream merges exactly the pairs the batch pipeline would.
+
+    `hot_tokens` must be the SAME census list batch `prepare` removed
+    from its blocking token set (`ERPipeline.hot_token_list`) — the
+    corpus signatures were minhashed over hot-FILTERED tokens, so the
+    stream side must filter identically or an exact copy of a corpus
+    page hashes to different band keys and can miss every bucket.
+    """
+    if threshold is None:
+        threshold = matcher.threshold
     prep = make_prepare_udf(embedding_dim, num_hashes)
+    block_toks = (
+        F.array_except(F.col("tokens"), F.lit(hot_tokens))
+        if hot_tokens
+        else F.col("tokens")
+    )
     s = (
         pages.withColumn("tokens", tokenize_auto(F.col("text"), F.col("lang")))
-        # no corpus-wide hot-token census on a stream: the blocking
-        # token set is the full token set (the static corpus's census
-        # already bounded ITS band buckets; a stream-side hot token can
-        # only fan out into capped corpus buckets)
-        .withColumn("_p", prep(F.col("tokens"), F.col("tokens")))
+        .withColumn("_p", prep(F.col("tokens"), block_toks))
         .select(
             F.col(ts_col).alias("ts"),
             "url",
@@ -119,7 +133,11 @@ def streaming_entity_assign(
             cosine_sim_fixed(
                 F.col("s_emb"), F.col("c_emb"), embedding_dim, normalized=True
             ).alias("f_cos"),
-            F.when(mx.isNull() | (mx == 0), F.lit(0.0))
+            # batch parity: both-empty -> 1.0 exactly like pair_features
+            # and the arrow scorer; a null (no band match) row's score
+            # is nulled via entity_id anyway
+            F.when(mx.isNull(), F.lit(None).cast("double"))
+            .when(mx == 0, F.lit(1.0))
             .otherwise(mn / mx)
             .alias("f_len_ratio"),
         )

@@ -44,35 +44,57 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _sample_tree_cpu(stop: threading.Event, out: dict, period: float = 2.0) -> None:
     """Integrate CPU-core-seconds of the bench process tree (java +
-    pyspark daemons/workers + the bench driver python). The box is held
+    pyspark daemons/workers + the bench driver python) by diffing
+    cumulative /proc/<pid>/stat utime+stime per sample — `ps` %CPU is a
+    PROCESS-LIFETIME average (cputime/elapsed-since-start), which
+    misattributes CPU for phase-varying workloads; cumulative jiffies
+    deltas are exact while a process is visible (a worker exiting
+    mid-interval loses at most one period of its tail). The box is held
     exclusively during scaling runs, so a system-wide match is the
     tree."""
+    hz = os.sysconf("SC_CLK_TCK")
+    seen: dict[int, float] = {}  # pid -> last cumulative cpu seconds
     total = 0.0
-    last = time.time()
+
+    def _tick() -> None:
+        nonlocal total
+        try:
+            out_ps = subprocess.run(
+                ["ps", "-eo", "pid,args"], capture_output=True, text=True
+            ).stdout.splitlines()
+        except Exception:
+            return
+        live: dict[int, float] = {}
+        for line in out_ps:
+            a = line.strip().split(None, 1)
+            if len(a) != 2 or not a[0].isdigit():
+                continue
+            pid, args = int(a[0]), a[1]
+            if not (
+                ("java" in args and "spark" in args.lower())
+                or "pyspark.daemon" in args
+                or "bench.py" in args
+            ):
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    fields = f.read().rsplit(")", 1)[1].split()
+                # fields[11]=utime, fields[12]=stime (after comm strip)
+                cpu_sec = (int(fields[11]) + int(fields[12])) / hz
+            except Exception:
+                continue
+            live[pid] = cpu_sec
+            prev = seen.get(pid)
+            # new pid: count its full cputime (it started after our
+            # last tick — all of it belongs to this run)
+            total += cpu_sec - (prev if prev is not None else 0.0)
+        seen.clear()
+        seen.update(live)
+
     while not stop.is_set():
         time.sleep(period)
-        now = time.time()
-        try:
-            ps = subprocess.run(
-                ["ps", "-eo", "pcpu,args"], capture_output=True, text=True
-            ).stdout.splitlines()
-            cores = 0.0
-            for line in ps:
-                a = line.strip().split(None, 1)
-                if len(a) != 2:
-                    continue
-                pcpu, args = a
-                if ("java" in args and "spark" in args.lower()) or (
-                    "pyspark.daemon" in args
-                ) or ("bench.py" in args):
-                    try:
-                        cores += float(pcpu) / 100.0
-                    except ValueError:
-                        pass
-            total += cores * (now - last)
-        except Exception:
-            pass
-        last = now
+        _tick()
+    _tick()  # final delta before the subprocess result is read
     out["cpu_core_sec"] = total
 
 

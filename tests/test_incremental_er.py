@@ -56,6 +56,10 @@ def test_streaming_assign_matches_batch_entities(spark, resolved, tmp_path):
         num_hashes=pipe.cfg.num_hashes,
         bands=pipe.cfg.bands,
         rows=pipe.cfg.rows,
+        # the corpus signatures were hashed over hot-FILTERED tokens;
+        # the stream must block with the same census or exact copies
+        # can hash into different bands
+        hot_tokens=pipe.hot_token_list(pipe.extract(pages)),
     )
     q = (
         assigned.writeStream.format("memory")

@@ -85,11 +85,23 @@ def test_cc_reliable_checkpoint_matches_local(spark, tmp_path):
         )
     )
     assert local == durable
-    # iteration outputs actually landed on reliable storage
+    # iteration outputs actually landed on reliable storage, under an
+    # input-fingerprint subdir so a different graph at the same root
+    # can never be served another graph's iterations
     import os
 
-    iters = [d for d in os.listdir(tmp_path / "cc") if d.startswith("cc_iter_")]
+    fps = os.listdir(tmp_path / "cc")
+    assert len(fps) == 1
+    iters = [
+        d for d in os.listdir(tmp_path / "cc" / fps[0]) if d.startswith("cc_iter_")
+    ]
     assert len(iters) >= 1
+
+    other = spark.createDataFrame(
+        pd.DataFrame({"id_l": [10, 11], "id_r": [11, 12]}), "id_l long, id_r long"
+    )
+    connected_components(other, checkpoint_dir=str(tmp_path / "cc")).collect()
+    assert len(os.listdir(tmp_path / "cc")) == 2
 
 
 @pytest.mark.skipif(
