@@ -2,13 +2,57 @@
 
 Reproduces the reference's judge metric (`src/models/matcher.py:14-24`:
 torchmetrics F1/P/R with ignore_index=0, i.e. computed on the
-label-1 "matched" class only) as a single aggregation.
+label-1 "matched" class only) as a single aggregation, plus the
+scenario-grid evaluation loop (`scripts/test_ali.py:41-55`: score every
+labeled test split with a frozen model, one metrics row per split).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def featurize_pairs(labeled_pairs: DataFrame, embedding_dim: int = 64) -> DataFrame:
+    """Ember-shaped labeled pair table (url/text/lang _left/_right +
+    label) -> the matcher's feature columns. The same featurization
+    `ERPipeline.fit_matcher` trains on — evaluation through this path
+    sees the training feature distribution exactly."""
+    from ember_spark.functions.hashing import make_hash_embedding_udf
+    from ember_spark.functions.tokenize import tokenize_auto
+    from ember_spark.operators.scoring import pair_features
+
+    emb = make_hash_embedding_udf(embedding_dim)
+    sides = (
+        labeled_pairs.select(
+            F.col("text_left").alias("text_l"),
+            F.col("text_right").alias("text_r"),
+            F.col("lang_left").alias("lang_l"),
+            F.col("lang_right").alias("lang_r"),
+            "label",
+        )
+        .withColumn("tokens_l", tokenize_auto(F.col("text_l"), F.col("lang_l")))
+        .withColumn("tokens_r", tokenize_auto(F.col("text_r"), F.col("lang_r")))
+        .withColumn("emb_l", emb(F.col("tokens_l")))
+        .withColumn("emb_r", emb(F.col("tokens_r")))
+    )
+    return pair_features(sides)
+
+
+def evaluate_splits(
+    matcher,
+    splits: dict[str, DataFrame],
+    embedding_dim: int = 64,
+) -> dict[str, dict]:
+    """The reference's test grid (`test_ali.py`): score every labeled
+    split with ONE frozen matcher and return per-split positive-class
+    metrics — {split: {precision, recall, f1, tp, fp, fn}}. Feed it
+    `build_benchmark_suite(...)`'s output to reproduce the reference's
+    full evaluation table (train/val/test, RL/CFM/OM, imbalanced)."""
+    return {
+        name: pairwise_prf(matcher.predict(featurize_pairs(df, embedding_dim)))
+        for name, df in splits.items()
+    }
 
 
 def pairwise_prf(pred_pairs: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> dict:

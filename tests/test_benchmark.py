@@ -174,6 +174,25 @@ def test_suite_imbalanced_excludes_train(suite):
     assert ti.isdisjoint(tv)
 
 
+def test_suite_grid_evaluation(spark, records, suite):
+    """The reference's test grid (test_ali.py): fit on the suite's
+    train split, evaluate EVERY split with the frozen matcher — one
+    metrics row per scenario, like the reference's results table."""
+    from ember_spark.evaluate import evaluate_splits
+    from ember_spark.plans.pipeline import ERPipeline
+
+    pipe = ERPipeline(spark)
+    matcher = pipe.fit_matcher(suite["train"])
+    metrics = evaluate_splits(matcher, suite)
+    assert set(metrics) == set(suite)
+    for name, m in metrics.items():
+        assert set(m) >= {"precision", "recall", "f1"}, name
+    # in-distribution and unseen-record scenarios must both be strong
+    assert metrics["test"]["f1"] >= 0.95, metrics["test"]
+    assert metrics["test_rl"]["f1"] >= 0.9, metrics["test_rl"]
+    assert metrics["test_om"]["f1"] >= 0.9, metrics["test_om"]
+
+
 def test_suite_deterministic(spark, records):
     """Same seed -> byte-identical val split (windows over seeded md5
     keys everywhere; no rand())."""

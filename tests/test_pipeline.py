@@ -6,30 +6,13 @@ reference evaluates at seeds 142/123, `run_ali.py:37`)."""
 import pytest
 from pyspark.sql import functions as F
 
-from ember_spark.evaluate import cluster_pairwise_prf, pairwise_prf
+from ember_spark.evaluate import cluster_pairwise_prf, featurize_pairs, pairwise_prf
 from ember_spark.fixtures import generate_labeled_pairs, generate_pages, split_labels
-from ember_spark.functions.hashing import make_hash_embedding_udf
-from ember_spark.functions.tokenize import tokenize_auto
-from ember_spark.operators.scoring import pair_features
 from ember_spark.plans.pipeline import ERPipeline
 
-
-def _featurize(lp):
-    emb = make_hash_embedding_udf(64)
-    sides = (
-        lp.select(
-            F.col("text_left").alias("text_l"),
-            F.col("text_right").alias("text_r"),
-            F.col("lang_left").alias("lang_l"),
-            F.col("lang_right").alias("lang_r"),
-            "label",
-        )
-        .withColumn("tokens_l", tokenize_auto(F.col("text_l"), F.col("lang_l")))
-        .withColumn("tokens_r", tokenize_auto(F.col("text_r"), F.col("lang_r")))
-        .withColumn("emb_l", emb(F.col("tokens_l")))
-        .withColumn("emb_r", emb(F.col("tokens_r")))
-    )
-    return pair_features(sides)
+#: the library featurizer (ember_spark.evaluate) is the single source;
+#: other test modules import this alias
+_featurize = featurize_pairs
 
 
 @pytest.fixture(scope="module")
