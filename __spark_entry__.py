@@ -36,15 +36,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full ER pipeline (tokenize -> MinHash-LSH blocking ->
     feature scoring -> connected components) over sf0.001 documents;
-    returns (url, entity_id, entity_size)."""
-    from ember_spark.plans.pipeline import ERPipeline
+    returns (url, entity_id, entity_size). Same pinned-jaccard matcher
+    as q_er_pipeline_entities (decision = token-jaccard > 0.8565, see
+    its docstring for why that makes the dataflow oracle-checkable)."""
+    from ember_spark.operators.scoring import LogisticMatcher
+    from ember_spark.plans.pipeline import ERPipeline, PipelineConfig
 
     docs = _t(spark, SF_DEFAULT, "documents").select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.col("text"),
         F.col("lang"),
     )
-    pipe = ERPipeline(spark)
+    cfg = PipelineConfig(
+        matcher=LogisticMatcher([20.0, 0.0, 0.0, 0.0, 0.0], -17.13),
+        use_cascade=False,
+    )
+    pipe = ERPipeline(spark, cfg)
     prepared = pipe.prepare(docs)
     pairs = pipe.block(prepared)
     scored = pipe.score(pairs, prepared)
@@ -595,20 +602,46 @@ def q_ann_lsh_topk(spark, sf):
 
 
 def q_er_pipeline_entities(spark, sf):
-    from ember_spark.plans.pipeline import ERPipeline
+    """Flagship e2e pipeline — FULLY value-checked against a DuckDB
+    recursive-closure oracle (was rows-only through round 2).
+
+    Two design moves make the whole dataflow SQL-checkable:
+    - the matcher weights are pinned to the jaccard feature
+      (w=[20,0,0,0,0], b=-17.13): prediction == (token-jaccard >
+      0.8565), and on this corpus the nearest achievable jaccard is
+      6.4e-4 from the boundary (scripts/explore_thr.py), so the
+      decision has zero float-tie risk. Every stage still runs for
+      real — prepare's Arrow UDF, multi-key blocking (at sf0.01 the
+      shared url-path key makes candidate recall exactly 1: all
+      C(500,2) pairs are scored), the 5-feature Arrow scorer, CC,
+      singleton union, url re-attach. Trained-matcher quality is
+      gated separately (tests/test_pipeline F1 + m7_pairwise_prf).
+    - entity ids are remapped from min-rid (xxhash64, not SQL-
+      reproducible) to the component's min url.
+    """
+    from ember_spark.operators.scoring import LogisticMatcher
+    from ember_spark.plans.pipeline import ERPipeline, PipelineConfig
 
     docs = _t(spark, sf, "documents").select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         "text",
         "lang",
     )
-    pipe = ERPipeline(spark)
+    cfg = PipelineConfig(
+        matcher=LogisticMatcher([20.0, 0.0, 0.0, 0.0, 0.0], -17.13),
+        use_cascade=False,
+    )
+    pipe = ERPipeline(spark, cfg)
     # cluster() references prepared twice (singletons + url re-attach)
     # and scored once per CC bootstrap — persist both or every
     # reference re-executes the upstream pipeline
     prepared = pipe.prepare(docs).persist()
     scored = pipe.score(pipe.block(prepared), prepared).persist()
-    return pipe.cluster(scored, prepared)
+    ents = pipe.cluster(scored, prepared)
+    emin = ents.groupBy("entity_id").agg(F.min("url").alias("canon_url"))
+    return ents.join(emin, "entity_id").select(
+        "url", F.col("canon_url").alias("entity_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -652,7 +685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_pairs": q_benchmark_pairs,
         "benchmark_rl_pairs": q_benchmark_rl_pairs,
         "benchmark_imbalanced": q_benchmark_imbalanced,
-        # rows-only (non-SQL-expressible)
+        # LSH / clustering / pipeline (all oracle-checked except
+        # simhash_dedup — blake2b not SQL-expressible — and
+        # ann_lsh_topk — recall < 1 is the approximate contract)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -980,6 +1015,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
             SELECT id, min(comp) AS component FROM reach GROUP BY id
         """,
+        # the flagship pipeline, end-to-end: lang-aware tokenization,
+        # brute-force pair jaccard (the pipeline's candidate recall at
+        # sf0.01 is exactly 1 — see q_er_pipeline_entities docstring),
+        # decision jaccard > 0.8565 (the pinned matcher's boundary),
+        # recursive transitive closure, entity = min url per component,
+        # singletons mapping to themselves.
+        "er_pipeline_entities": f"""
+            WITH RECURSIVE
+            d AS (
+              SELECT 'doc://' || doc_id::VARCHAR AS url,
+                     CASE WHEN lang = 'zh'
+                          THEN list_transform(
+                                 generate_series(1, greatest(len(text) - 1, 1)),
+                                 i -> substring(text, i, 2))
+                          ELSE {toks} END AS t
+              FROM documents),
+            pr AS (
+              SELECT a.url AS ul, b.url AS ur
+              FROM d a JOIN d b ON a.url < b.url
+              WHERE CASE WHEN len(list_distinct(list_concat(a.t, b.t))) = 0
+                         THEN 1.0
+                         ELSE len(list_intersect(a.t, b.t))::DOUBLE
+                              / len(list_distinct(list_concat(a.t, b.t)))
+                    END > 0.8565),
+            edges AS (SELECT ul AS a, ur AS b FROM pr
+                      UNION ALL SELECT ur, ul FROM pr),
+            nodes AS (SELECT url AS id FROM d),
+            reach(id, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+            SELECT id AS url, min(comp) AS entity_id FROM reach GROUP BY id
+        """,
         # the full benchmark-builder dataflow re-expressed in SQL:
         # same windows, same seeded-md5 sort keys, same inverted-index
         # profile similarity; hard negatives = most-similar pairs
@@ -1302,9 +1370,11 @@ def oracle_sql() -> dict[str, str]:
                        AS prediction
               FROM e a JOIN e b ON a.vec_id < b.vec_id),
             agg AS (
-              SELECT sum(CASE WHEN prediction = 1 AND label = 1 THEN 1 ELSE 0 END) AS tp,
-                     sum(CASE WHEN prediction = 1 AND label = 0 THEN 1 ELSE 0 END) AS fp,
-                     sum(CASE WHEN prediction = 0 AND label = 1 THEN 1 ELSE 0 END) AS fn
+              -- ::BIGINT: DuckDB sum() yields HUGEINT -> pandas float64, which
+              -- hash-mismatches Spark's int64 even when values are identical.
+              SELECT sum(CASE WHEN prediction = 1 AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                     sum(CASE WHEN prediction = 1 AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+                     sum(CASE WHEN prediction = 0 AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS fn
               FROM p)
             SELECT tp, fp, fn,
                    round(tp / (tp + fp), 6) AS precision,

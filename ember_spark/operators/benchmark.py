@@ -82,7 +82,7 @@ def similar_clusters(
     profiles: DataFrame,
     right_profiles: DataFrame | None = None,
     top_n: int = 12,
-    max_token_df: int | None = None,
+    max_token_df: int | str | None = "auto",
 ) -> DataFrame:
     """Top-N most-similar clusters per cluster by profile Jaccard
     (reference hard-negative mining, `build_ali_dataset.py:158-172`).
@@ -91,11 +91,24 @@ def similar_clusters(
 
     Inverted-index join: explode profile tokens, equi-join on the token,
     count shared tokens per (a, b), Jaccard from profile sizes. Tokens
-    present in more than `max_token_df` clusters can be dropped from the
-    index (hot-token guard — they only create quadratic candidate fanout
-    while adding ~no discrimination). Returns (cluster_id, sim_cluster,
-    sim_jaccard, sim_rank), directed, a != b.
+    present in more than `max_token_df` clusters are dropped from the
+    index (hot-token guard — a token in d clusters creates d^2 candidate
+    pairs while adding ~no discrimination; an unguarded ubiquitous token
+    makes the join quadratic in the cluster count). The default "auto"
+    derives the cap from a census of the profile table:
+    max(50, ceil(5*sqrt(C))) for C clusters — inactive on small corpora
+    (cap > C, nothing dropped: small-fixture results are unchanged) and
+    sub-quadratic per token at scale (each hot token contributes
+    <= 25*C pairs instead of C^2). Pass an int to pin the cap (the
+    oracle-checked benchmark queries pin 60) or None to disable.
+    Returns (cluster_id, sim_cluster, sim_jaccard, sim_rank),
+    directed, a != b.
     """
+    if max_token_df == "auto":
+        n_clusters = profiles.count()
+        if right_profiles is not None:
+            n_clusters = max(n_clusters, right_profiles.count())
+        max_token_df = max(50, math.ceil(5 * math.sqrt(n_clusters)))
 
     def _inv(p: DataFrame) -> DataFrame:
         inv = p.select(
@@ -438,7 +451,7 @@ def build_benchmark_suite(
     imbalance_neg: int = 49500,
     top_similar: int = 12,
     seed: int = 142,
-    max_token_df: int | None = None,
+    max_token_df: int | str | None = "auto",
 ) -> dict[str, DataFrame]:
     """The reference's full 10-dataset benchmark product
     (`build_datasets`, build_ali_dataset.py:260-343), distributed:

@@ -216,7 +216,7 @@ def attach_pair_payload_bucketed(
     id_col: str,
     payload_cols: list[str],
     buckets: int = 64,
-    table_prefix: str = "ember_bucketed",
+    table_prefix: str | None = None,
     location: str | None = None,
 ) -> DataFrame:
     """Bucketed variant of `attach_pair_payload` — the 10^12-pair scale
@@ -227,8 +227,19 @@ def attach_pair_payload_bucketed(
     intermediate reshuffles on id_r). On a real cluster the bucketed
     writes double as resumable stage outputs; a shuffle join instead
     re-exchanges the full pair table twice on every run.
+
+    `table_prefix` defaults to a per-call unique name so concurrent jobs
+    sharing a metastore can never clobber each other's bucketed tables
+    (and a pre-existing unrelated table is never DROPped). Pass an
+    explicit prefix to reuse tables across runs — then YOU own the
+    namespace. Call `drop_bucketed_tables(spark, prefix)` once the join
+    output has been consumed.
     """
     spark = df.sparkSession
+    if table_prefix is None:
+        import uuid
+
+        table_prefix = f"ember_bucketed_{uuid.uuid4().hex[:12]}"
     corpus_tbl = f"{table_prefix}_corpus"
     pairs_tbl = f"{table_prefix}_pairs"
     for tbl, data, key in ((corpus_tbl, df.select(id_col, *payload_cols), id_col),
@@ -247,6 +258,13 @@ def attach_pair_payload_bucketed(
         F.col(id_col).alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in payload_cols]
     )
     return p.join(left, "id_l").join(right, "id_r")
+
+
+def drop_bucketed_tables(spark, table_prefix: str) -> None:
+    """Drop the two tables `attach_pair_payload_bucketed` wrote under
+    `table_prefix` once the join output has been consumed."""
+    for suffix in ("corpus", "pairs"):
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{suffix}")
 
 
 def salted_repartition(

@@ -72,6 +72,8 @@ def connected_components(
     max_iterations: int = 20,
     partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    input_fp: str | None = None,
+    cleanup: bool = True,
 ) -> DataFrame:
     """Compute connected components of an undirected edge list.
 
@@ -92,27 +94,54 @@ def connected_components(
     never serve the previous graph's iterations; existence checks go
     through the Hadoop FileSystem API, so hdfs:///s3a:// roots work,
     not just the driver's local disk.
+
+    `input_fp`: explicit content fingerprint overriding the plan-shape
+    semanticHash (which cannot see in-place mutation of an input path —
+    pass e.g. a hash of the input files' (path, size, mtime) when the
+    same plan may read changed data). When no fingerprint is available
+    at all (semanticHash raises and no override), reuse is DISABLED:
+    iterations go to a unique per-run subdirectory rather than a shared
+    'nofp' bucket that a different graph could silently resume from.
+
+    `cleanup`: after convergence, delete all iteration directories
+    except the final one (the returned DataFrame lazily reads it).
+    Callers may remove the whole fingerprint subdirectory once the
+    result has been consumed/materialized.
     """
     spark = edges.sparkSession
 
+    reuse = True
     if checkpoint_dir is not None:
-        try:
-            in_fp = f"{edges.semanticHash() & 0xFFFFFFFF:08x}"
-        except Exception:
-            in_fp = "nofp"
+        if input_fp is not None:
+            in_fp = input_fp
+        else:
+            try:
+                in_fp = f"{edges.semanticHash() & 0xFFFFFFFF:08x}"
+            except Exception:
+                import uuid
+
+                in_fp = f"run_{uuid.uuid4().hex[:12]}"
+                reuse = False
         ckpt_root = f"{checkpoint_dir}/{in_fp}"
         hconf = spark._jsc.hadoopConfiguration()
         jvm = spark._jvm
 
+        def _hdfs_path(p: str):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
         def _hdfs_exists(p: str) -> bool:
-            hp = jvm.org.apache.hadoop.fs.Path(p)
+            hp = _hdfs_path(p)
             return hp.getFileSystem(hconf).exists(hp)
+
+        def _hdfs_delete(p: str) -> None:
+            hp = _hdfs_path(p)
+            hp.getFileSystem(hconf).delete(hp, True)
 
     def persist_iter(df: DataFrame, it: int) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=False)
         path = f"{ckpt_root}/cc_iter_{it:03d}"
-        if not _hdfs_exists(f"{path}/_SUCCESS"):
+        if not (reuse and _hdfs_exists(f"{path}/_SUCCESS")):
             df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
@@ -161,6 +190,14 @@ def connected_components(
     finally:
         spark.conf.set(conf_key, old_parts)
         spark.conf.set(aqe_key, old_aqe)
+
+    if checkpoint_dir is not None and cleanup:
+        # converged: iterations before the fixpoint are dead weight —
+        # the returned DataFrame only reads the FINAL iteration dir, and
+        # a resume after this point recomputes (identically) anything
+        # missing, so deleting the prefix is safe for both.
+        for dead in range(it):
+            _hdfs_delete(f"{ckpt_root}/cc_iter_{dead:03d}")
 
     # fixpoint edge set is a star forest: src -> root(dst); nodes never
     # emitted (roots, self-loop-only, isolated-in-input) map to themselves

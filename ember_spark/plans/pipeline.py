@@ -25,6 +25,7 @@ from ember_spark.functions.text import extract_text_from_html
 from ember_spark.functions.tokenize import tokenize_auto
 from ember_spark.operators.blocking import (
     attach_pair_payload,
+    attach_pair_payload_bucketed,
     candidate_pairs,
     salted_repartition,
 )
@@ -82,6 +83,19 @@ class PipelineConfig:
     # the corpus never fits anyway — default to shuffle joins, which
     # parallelize with the cluster
     broadcast_payload: bool = False
+    # payload-attach strategy for the scoring join (perf-only — output
+    # is identical, so it is excluded from the stage fingerprints):
+    #  - "shuffle" (default): attach_pair_payload — sort-merge/broadcast
+    #    joins, zero setup cost, right for one-shot small/medium runs.
+    #  - "bucketed": attach_pair_payload_bucketed — corpus and pair
+    #    table written ONCE as bucketed+sorted tables on the id so both
+    #    payload joins run bucket-to-bucket with no exchange; the
+    #    10^12-pair scale path, where re-shuffling the pair table twice
+    #    per run dominates. The bucketed tables double as resumable
+    #    stage outputs (set payload_table_location to durable storage).
+    payload_mode: str = "shuffle"
+    payload_buckets: int = 64
+    payload_table_location: str | None = None
     matcher: LogisticMatcher = field(
         default_factory=lambda: LogisticMatcher(DEFAULT_WEIGHTS, DEFAULT_BIAS)
     )
@@ -269,10 +283,18 @@ class ERPipeline:
             tok_col,
             "emb",
         )
-        withpay = attach_pair_payload(
-            pairs, slim, id_col, ["text", "text_len", tok_col, "emb"],
-            broadcast_payload=self.cfg.broadcast_payload,
-        )
+        payload_cols = ["text", "text_len", tok_col, "emb"]
+        if self.cfg.payload_mode == "bucketed":
+            withpay = attach_pair_payload_bucketed(
+                pairs, slim, id_col, payload_cols,
+                buckets=self.cfg.payload_buckets,
+                location=self.cfg.payload_table_location,
+            )
+        else:
+            withpay = attach_pair_payload(
+                pairs, slim, id_col, payload_cols,
+                broadcast_payload=self.cfg.broadcast_payload,
+            )
         # optional skew-key salting: spread any hot key's pairs before
         # the Python-bearing feature stage (see PipelineConfig.salt)
         if self.cfg.salt:
@@ -433,9 +455,17 @@ class ERPipeline:
             (self.cfg.matcher.to_json() + self.cfg.cascade.to_json()).encode(),
             digest_size=4,
         ).hexdigest() if self.cfg.matcher.weights is not None else "prior"
+        # every OUTPUT-affecting knob must be here: a stale-checkpoint
+        # serve after a config change is exactly the failure the chained
+        # fingerprints exist to close. Perf-only fields (salt,
+        # score_partitions, broadcast_payload) are deliberately excluded
+        # so a perf retune can reuse checkpoints.
         cfg_fp = (
             f"h{self.cfg.num_hashes}b{self.cfg.bands}r{self.cfg.rows}"
             f"c{self.cfg.block_cap}d{self.cfg.embedding_dim}m{model_fp}"
+            f"u{int(self.cfg.use_url_key)}t{self.cfg.hot_token_df_frac}"
+            f"x{self.cfg.hot_token_max}f{self.cfg.feature_mode}"
+            f"k{int(self.cfg.use_cascade)}"
         )
         if input_fp is None:
             try:

@@ -114,7 +114,16 @@ def streaming_entity_assign(
             F.explode(lsh_band_keys(F.col("_p.sig"), bands, rows)).alias("band_key"),
         )
     )
-    cands = s.join(banded_corpus, "band_key", "left_outer")
+    # a page sharing k band keys with a corpus doc would otherwise be
+    # feature-scored k times (up to `bands`x redundant Arrow + JW work
+    # per micro-batch) before max_by absorbs the copies — dedup the
+    # (page, corpus doc) pair BEFORE the feature UDF. The watermark is
+    # set upstream of the dedup so its state is evicted by event time.
+    cands = (
+        s.withWatermark("ts", watermark)
+        .join(banded_corpus, "band_key", "left_outer")
+        .dropDuplicates(["ts", "url", "c_rid"])
+    )
     feats_udf = make_pair_text_features_udf()
     mx = F.greatest("s_len", "c_len")
     mn = F.least("s_len", "c_len")
@@ -149,8 +158,7 @@ def streaming_entity_assign(
         ),
     )
     agg = (
-        scored.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "url")
+        scored.groupBy(F.window("ts", window).alias("w"), "url")
         .agg(
             F.max_by("entity_id", "score").alias("best_entity"),
             F.max("score").alias("best_score"),

@@ -67,6 +67,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             failures.append((name, f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"))
             print(f"FAIL {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             continue
+        # dtype-kind mismatch (e.g. DuckDB HUGEINT->float64 vs Spark int64)
+        # hash-mismatches in the driver even when the values are identical.
+        kind_diffs = [
+            (c, sdf[c].dtype.kind, odf[c].dtype.kind)
+            for c in sorted(sdf.columns)
+            if sdf[c].dtype.kind != odf[c].dtype.kind
+            and {sdf[c].dtype.kind, odf[c].dtype.kind} <= {"i", "u", "f"}
+        ]
+        if kind_diffs:
+            failures.append((name, f"dtype kinds differ: {kind_diffs}"))
+            print(f"FAIL {name}: dtype kinds differ (spark vs oracle): {kind_diffs}")
+            continue
         a, b = canon(sdf), canon(odf)
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
