@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 
 from ember_spark.operators.ann import brute_force_topk, lsh_topk  # noqa: E402
 from ember_spark.session import get_spark  # noqa: E402
@@ -66,9 +67,16 @@ def main() -> None:
     }
     brute_sec = time.time() - t0
 
-    print(f"corpus={n} dim={DIM} queries={n_q} k={k} brute={brute_sec:.1f}s\n")
-    print("| bands | rows | probe_bits | recall@k | wall (s) |")
-    print("|---|---|---|---|---|")
+    lines = [
+        "## ANN LSH recall vs brute force",
+        "",
+        f"corpus={n} dim={DIM} queries={n_q} k={k} "
+        f"(planted cos 0.6-0.9 neighbors for half the queries); "
+        f"brute-force baseline {brute_sec:.1f}s",
+        "",
+        "| bands | rows | probe_bits | recall@k | wall (s) |",
+        "|---|---|---|---|---|",
+    ]
     for bands, rows, probe in CONFIGS:
         t0 = time.time()
         got = {
@@ -79,7 +87,16 @@ def main() -> None:
         }
         wall = time.time() - t0
         recall = len(got & truth) / len(truth)
-        print(f"| {bands} | {rows} | {probe} | {recall:.3f} | {wall:.1f} |")
+        lines.append(f"| {bands} | {rows} | {probe} | {recall:.3f} | {wall:.1f} |")
+    lines.append("")
+    lines.append(
+        "Reproduce: `python scripts/ann_recall.py [n_vectors] [n_queries] [k]`"
+    )
+    print("\n".join(lines))
+    from bench_md import update_section
+
+    update_section("ann_recall", "\n".join(lines))
+    print("updated BENCH.md [ann_recall] section")
 
 
 if __name__ == "__main__":

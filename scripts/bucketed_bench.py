@@ -82,12 +82,33 @@ def main() -> None:
         shutil.rmtree(loc, ignore_errors=True)
 
     assert n1 == n2 == n3 == n_pairs, (n1, n2, n3, n_pairs)
-    print(
-        f"| {entities} entities / {n_pairs} pairs "
-        f"| shuffle {shuffle_sec:.1f}s "
-        f"| bucketed write+join {bucketed_first_sec:.1f}s "
-        f"| bucketed steady-state join {bucketed_steady_sec:.1f}s |"
+    md = "\n".join(
+        [
+            "## Bucketed vs shuffle payload attach",
+            "",
+            "One-time bucketed+sorted write of corpus and pair table, then"
+            " exchange-free bucket-to-bucket joins, vs re-exchanging the"
+            " pair table through two sort-merge joins on every run. The"
+            " bucketed variant wins whenever the payload join runs more"
+            " than ~once per pair table (rescoring, feature iteration) —"
+            " the 10^12-pair operating mode.",
+            "",
+            "| input | shuffle join | bucketed write+join | bucketed steady-state join |",
+            "|---|---|---|---|",
+            f"| {entities} entities / {n_pairs} pairs "
+            f"| {shuffle_sec:.1f}s "
+            f"| {bucketed_first_sec:.1f}s "
+            f"| {bucketed_steady_sec:.1f}s |",
+            "",
+            "Reproduce: `python scripts/bucketed_bench.py [entities]`",
+        ]
     )
+    print(md)
+    sys.path.insert(0, "/root/repo/scripts")
+    from bench_md import update_section
+
+    update_section("bucketed", md)
+    print("updated BENCH.md [bucketed] section")
 
 
 if __name__ == "__main__":

@@ -8,15 +8,17 @@ Two efficiencies are reported, both honest, bracketing the truth:
 - NOMINAL: T_N / (4 * T_4N) against the configured core counts. On one
   box this UNDERSTATES cluster scaling for two reasons the evidence
   section documents: (1) local[N] bounds task slots, not the process
-  tree — python UDF workers and JVM service threads run beyond N (the
-  CPU trace shows the "2-core" level consuming ~3 cores), inflating the
-  low level; (2) all "executors" share one DRAM controller and LLC, so
-  shuffle-heavy stages contend at the high level — a real cluster adds
-  a memory system with every executor.
-- CPU-NORMALIZED: throughput per actually-consumed CPU-core-second,
-  from sampling the whole process tree (JVM + python workers) during
-  each run. This is the resource-scaling number a cluster scheduler
-  sees, immune to distortion (1) though not (2).
+  tree — python UDF workers and JVM service threads run beyond N,
+  inflating the low level; (2) all "executors" share one DRAM
+  controller and LLC, so shuffle-heavy stages contend at the high
+  level — a real cluster adds a memory system with every executor.
+- CPU-NORMALIZED: throughput per actually-consumed CPU-core-second.
+  Measured by bench.py ITSELF (TreeCpuSampler) strictly inside the
+  ER-timed window — JVM startup and corpus generation are excluded
+  from both the wall and the core-seconds, so the reading compares
+  like with like at every level (the round-2 external sampler counted
+  startup+generation CPU, inflating the high level's apparent core
+  usage by ~10% and the low level's by ~3%).
 
 Each level runs `trials` times (fresh JVM each); the minimum wall is
 taken per level — the box is a shared host with ±15-30% run-to-run
@@ -27,6 +29,8 @@ Usage: python scripts/scaling_bench.py [entities] [levels...]
        (defaults: 400000 entities, levels 2 8; EMBER_SCALING_TRIALS=3)
 Executor-JVM mode: EMBER_SCALING_MODE=executors runs each level as
 local-cluster[N,1,...] (N single-core executor processes).
+Writes its section of BENCH.md between scaling markers (other
+sections — ANN recall, bucketed join — are preserved).
 """
 
 from __future__ import annotations
@@ -35,71 +39,16 @@ import json
 import os
 import subprocess
 import sys
-import threading
-import time
 from datetime import date
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _sample_tree_cpu(stop: threading.Event, out: dict, period: float = 2.0) -> None:
-    """Integrate CPU-core-seconds of the bench process tree (java +
-    pyspark daemons/workers + the bench driver python) by diffing
-    cumulative /proc/<pid>/stat utime+stime per sample — `ps` %CPU is a
-    PROCESS-LIFETIME average (cputime/elapsed-since-start), which
-    misattributes CPU for phase-varying workloads; cumulative jiffies
-    deltas are exact while a process is visible (a worker exiting
-    mid-interval loses at most one period of its tail). The box is held
-    exclusively during scaling runs, so a system-wide match is the
-    tree."""
-    hz = os.sysconf("SC_CLK_TCK")
-    seen: dict[int, float] = {}  # pid -> last cumulative cpu seconds
-    total = 0.0
-
-    def _tick() -> None:
-        nonlocal total
-        try:
-            out_ps = subprocess.run(
-                ["ps", "-eo", "pid,args"], capture_output=True, text=True
-            ).stdout.splitlines()
-        except Exception:
-            return
-        live: dict[int, float] = {}
-        for line in out_ps:
-            a = line.strip().split(None, 1)
-            if len(a) != 2 or not a[0].isdigit():
-                continue
-            pid, args = int(a[0]), a[1]
-            if not (
-                ("java" in args and "spark" in args.lower())
-                or "pyspark.daemon" in args
-                or "bench.py" in args
-            ):
-                continue
-            try:
-                with open(f"/proc/{pid}/stat") as f:
-                    fields = f.read().rsplit(")", 1)[1].split()
-                # fields[11]=utime, fields[12]=stime (after comm strip)
-                cpu_sec = (int(fields[11]) + int(fields[12])) / hz
-            except Exception:
-                continue
-            live[pid] = cpu_sec
-            prev = seen.get(pid)
-            # new pid: count its full cputime (it started after our
-            # last tick — all of it belongs to this run)
-            total += cpu_sec - (prev if prev is not None else 0.0)
-        seen.clear()
-        seen.update(live)
-
-    while not stop.is_set():
-        time.sleep(period)
-        _tick()
-    _tick()  # final delta before the subprocess result is read
-    out["cpu_core_sec"] = total
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from bench_md import update_section  # noqa: E402
 
 
 def run_level(cores: int, entities: int, trials: int) -> dict:
     best = None
+    cpu_trials: list[float] = []
     mode = os.environ.get("EMBER_SCALING_MODE", "threads")
     for _ in range(trials):
         env = dict(os.environ)
@@ -108,26 +57,37 @@ def run_level(cores: int, entities: int, trials: int) -> dict:
         else:
             env["SPARK_GRAFT_CPUS"] = str(cores)
         env["EMBER_BENCH_ENTITIES"] = str(entities)
+        # the scaling job profile, applied IDENTICALLY at every level:
+        # - fixed shuffle width (32): the physical plan must be the same
+        #   at N and 4N slots — a cluster job's shuffle width is sized to
+        #   the data, not re-planned per executor count; letting width
+        #   track slots would compare two different jobs.
+        # - shuffle compression off: shuffles live on tmpfs here, so lz4
+        #   is pure CPU overhead with no bandwidth to buy (a network
+        #   cluster turns it back on — at both sizes equally).
+        env.setdefault(
+            "EMBER_EXTRA_CONF",
+            "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
+            "spark.sql.shuffle.partitions=32",
+        )
         cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"]
-        stop = threading.Event()
-        cpu: dict = {}
-        t = threading.Thread(target=_sample_tree_cpu, args=(stop, cpu), daemon=True)
-        t.start()
         out = subprocess.run(
             cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600
         )
-        stop.set()
-        t.join(timeout=10)
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
-        r["cpu_core_sec"] = round(cpu.get("cpu_core_sec", 0.0), 1)
-        # core-seconds consumed per second of ER wall (excludes corpus
-        # generation only approximately — generation is ~10% of wall)
-        r["avg_cores_used"] = round(
-            r["cpu_core_sec"] / max(r["queries"]["er_total"] + r["queries"]["er_generate"], 1e-9), 2
-        )
+        # in-window core-seconds measured by bench.py itself: CPU window
+        # == timed window (startup + generation excluded on both sides)
+        r["avg_cores_used"] = r["detail"]["er_avg_cores"]
+        r["cpu_core_sec"] = r["detail"]["er_cpu_core_sec"]
+        cpu_trials.append(r["detail"]["er_cpu_core_sec"])
         if best is None or r["queries"]["er_total"] < best["queries"]["er_total"]:
             best = r
+    # interference shows up as EXTRA cpu (stall cycles bill as CPU
+    # time): like min-wall for throughput, min-cpu across trials
+    # approximates the uncontended cost of the same fixed work — the
+    # cpu-normalized efficiency uses this reading at every level
+    best["cpu_core_sec_min"] = min(cpu_trials)
     return best
 
 
@@ -145,12 +105,13 @@ def main() -> None:
         if hi in results:
             t_lo = results[lo]["queries"]["er_total"]
             t_hi = results[hi]["queries"]["er_total"]
-            c_lo = results[lo]["avg_cores_used"]
-            c_hi = results[hi]["avg_cores_used"]
+            cpu_lo = results[lo]["cpu_core_sec_min"]
+            cpu_hi = results[hi]["cpu_core_sec_min"]
             speedup = t_lo / t_hi
-            eff_cpu = (
-                round(speedup / (c_hi / c_lo), 3) if c_lo and c_hi else None
-            )
+            # cpu-normalized efficiency == throughput per consumed
+            # core-second == cpu_lo / cpu_hi (same work at both levels,
+            # the walls cancel); min-cpu across trials at each level
+            eff_cpu = round(cpu_lo / cpu_hi, 3) if cpu_lo and cpu_hi else None
             windows.append(
                 {
                     "window": f"{lo}->{hi}",
@@ -160,8 +121,10 @@ def main() -> None:
                     "thr_hi": round(pairs / t_hi, 1),
                     "speedup": round(speedup, 3),
                     "efficiency_nominal": round(speedup / (hi / lo), 3),
-                    "cores_used_lo": c_lo,
-                    "cores_used_hi": c_hi,
+                    "cpu_core_sec_lo": cpu_lo,
+                    "cpu_core_sec_hi": cpu_hi,
+                    "cores_used_lo": results[lo]["avg_cores_used"],
+                    "cores_used_hi": results[hi]["avg_cores_used"],
                     "efficiency_cpu_normalized": eff_cpu,
                 }
             )
@@ -176,7 +139,9 @@ def main() -> None:
                 "er_total_sec": r["queries"]["er_total"],
                 "avg_cores_used": r["avg_cores_used"],
                 "cpu_core_sec": r["cpu_core_sec"],
+                "cpu_core_sec_min": r["cpu_core_sec_min"],
                 "stages": r["queries"],
+                "stage_cpu": r["detail"].get("er_stage_cpu", {}),
             }
             for c, r in results.items()
         },
@@ -194,45 +159,66 @@ separate JVMs (mode: {mode}, best of {trials} trials per level — the
 box is a shared host with ±15-30% interference; the minimum
 approximates the uncontended cost, applied identically to each level).
 Input: deterministic synthetic corpus, seed 142 — {docs}
-Common-Crawl-weight pages ({entities} entities, ~110 tokens/doc) /
+Common-Crawl-weight pages ({entities} entities) /
 {pairs} candidate pairs. Corpus generation and Spark startup are
-excluded from the timed window; stages are measured at materialization
-barriers (pair table persisted between block and score).
+excluded from the timed window AND from the sampled CPU window
+(bench.py's in-process TreeCpuSampler brackets exactly the four ER
+stages); stages are measured at materialization barriers (pair table
+persisted between block and score).
+
+Job profile, applied IDENTICALLY at every level (a controlled scaling
+experiment varies ONLY the parallelism): fixed shuffle width 32 (a
+cluster job's shuffle width is sized to the data, not re-planned per
+executor count — per-level widths would compare two different physical
+plans) and shuffle compression off (shuffles live on tmpfs in this
+sandbox, so lz4 is pure CPU overhead with no bandwidth to buy; a
+network cluster re-enables it at both sizes equally).
 
 Two efficiency readings, both reported:
 
 - **nominal** — T_N / (4 x T_4N) against configured task-slot counts.
   On a single box this is a LOWER BOUND on cluster scaling: local[N]
   caps task slots, not the process tree — python UDF workers and JVM
-  service threads run beyond N (the sampled CPU trace below shows the
-  low level consuming ~1.5x its nominal cores), inflating the low
-  level's throughput; and all "executors" share one DRAM controller,
-  so shuffle stages contend at the high level, which a real cluster —
-  one memory system PER executor — does not suffer.
+  service threads run beyond N, inflating the low level's throughput;
+  and all "executors" share one DRAM controller, so shuffle stages
+  contend at the high level, which a real cluster — one memory system
+  PER executor — does not suffer.
 - **cpu-normalized** — throughput per actually-consumed CPU-core-
-  second (whole process tree sampled at 2s): the resource-efficiency
-  reading a cluster scheduler sees; immune to the task-slot
-  distortion, still conservative on the shared-DRAM penalty.
+  second inside the ER window (whole process tree sampled at 1s): the
+  resource-efficiency reading a cluster scheduler sees; immune to the
+  task-slot distortion, still conservative on the shared-DRAM penalty
+  (memory-stall cycles bill as CPU time at the wide level). Since both
+  levels do the SAME work, this reading reduces to
+  cpu_core_sec@N / cpu_core_sec@4N; each level's core-seconds are the
+  MINIMUM across trials (interference shows up as extra CPU, so the
+  minimum approximates the uncontended cost — the same estimator
+  best-of-N applies to wall time).
 
-| window | T_N (s) | T_4N (s) | pairs/s @N | pairs/s @4N | cores used @N | @4N | eff (nominal) | eff (cpu-normalized) |
+| window | T_N (s) | T_4N (s) | pairs/s @N | pairs/s @4N | cpu core-s @N | @4N | eff (nominal) | eff (cpu-normalized) |
 |---|---|---|---|---|---|---|---|---|
 """
     for w in windows:
         md += (
             f"| {w['window']} | {w['t_lo']} | {w['t_hi']} "
             f"| {w['thr_lo']} | {w['thr_hi']} "
-            f"| {w['cores_used_lo']} | {w['cores_used_hi']} "
+            f"| {w['cpu_core_sec_lo']} | {w['cpu_core_sec_hi']} "
             f"| {w['efficiency_nominal']} | **{w['efficiency_cpu_normalized']}** |\n"
         )
-    md += "\nPer-stage wall (seconds, best trial):\n\n| stage |"
+    md += "\nPer-stage wall seconds / CPU core-seconds (best trial):\n\n| stage |"
     for c in sorted(results):
         md += f" {c} slots |"
     md += "\n|---|" + "---|" * len(results) + "\n"
-    for k in ["er_prepare", "er_block", "er_score", "er_cluster", "er_total"]:
+    for k in ["er_prepare", "er_block", "er_score", "er_cluster"]:
         md += f"| {k} |"
         for c in sorted(results):
-            md += f" {results[c]['queries'][k]} |"
+            wall = results[c]["queries"][k]
+            scpu = results[c]["detail"].get("er_stage_cpu", {}).get(k, "")
+            md += f" {wall} / {scpu} |"
         md += "\n"
+    md += "| er_total |"
+    for c in sorted(results):
+        md += f" {results[c]['queries']['er_total']} / {results[c]['cpu_core_sec']} |"
+    md += "\n"
     md += (
         "\nThe pure-python feature kernel (the work that multiplies with"
         " executors on a real cluster: each executor brings its own"
@@ -244,9 +230,8 @@ Two efficiency readings, both reported:
         " [levels...]` (exclusive box; EMBER_SCALING_TRIALS sets"
         " trials).\n"
     )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
-    print("wrote BENCH.md")
+    update_section("scaling", md)
+    print("updated BENCH.md [scaling] section")
 
 
 if __name__ == "__main__":
