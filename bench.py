@@ -14,10 +14,102 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+class TreeCpuSampler:
+    """Integrates CPU-core-seconds of this bench's process tree (the
+    bench python driver, the Spark JVM, pyspark daemon/worker
+    processes) by diffing cumulative /proc/<pid>/stat utime+stime.
+
+    Runs ONLY across the window the caller brackets with start()/stop()
+    — the scaling-efficiency evidence divides these core-seconds by the
+    ER wall, so JVM startup and corpus generation must not leak into
+    the numerator (they are excluded from the denominator). A process
+    exiting mid-window loses at most one sample period of tail CPU.
+    `mark(stage)` snapshots the running total so per-stage CPU can be
+    reported next to per-stage wall."""
+
+    def __init__(self, period: float = 1.0):
+        self._period = period
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._hz = os.sysconf("SC_CLK_TCK")
+        self._seen: dict[int, float] = {}
+        self._lock = threading.Lock()
+        self.total = 0.0
+        self.marks: dict[str, float] = {}
+        self._last_mark = 0.0
+
+    def _tick(self) -> None:
+        try:
+            lines = subprocess.run(
+                ["ps", "-eo", "pid,args"], capture_output=True, text=True
+            ).stdout.splitlines()
+        except Exception:
+            return
+        me = os.getpid()
+        live: dict[int, float] = {}
+        delta = 0.0
+        for line in lines:
+            a = line.strip().split(None, 1)
+            if len(a) != 2 or not a[0].isdigit():
+                continue
+            pid, args = int(a[0]), a[1]
+            if not (
+                pid == me
+                or ("java" in args and "spark" in args.lower())
+                or "pyspark.daemon" in args
+            ):
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    fields = f.read().rsplit(")", 1)[1].split()
+                cpu_sec = (int(fields[11]) + int(fields[12])) / self._hz
+            except Exception:
+                continue
+            live[pid] = cpu_sec
+            prev = self._seen.get(pid)
+            # pid first seen: only CPU burned AFTER start() belongs to
+            # the window, so the baseline snapshot taken in start()
+            # (or this tick, for workers spawned mid-window) is the
+            # floor, not zero
+            delta += cpu_sec - (prev if prev is not None else 0.0)
+        with self._lock:
+            self._seen = live
+            self.total += delta
+
+    def start(self) -> "TreeCpuSampler":
+        self._tick()  # baseline snapshot: pre-window CPU never counts
+        with self._lock:
+            self.total = 0.0
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._period):
+            self._tick()
+
+    def mark(self, stage: str) -> None:
+        """Record CPU consumed since the previous mark (or start)."""
+        self._tick()
+        with self._lock:
+            self.marks[stage] = round(self.total - self._last_mark, 1)
+            self._last_mark = self.total
+
+    def stop(self) -> float:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self._tick()
+        return self.total
 
 
 def main() -> None:
@@ -34,17 +126,29 @@ def main() -> None:
     from ember_spark.plans.pipeline import ERPipeline
     from ember_spark.session import get_spark
 
+    # shuffle compression off for the bench profile: shuffles live on
+    # tmpfs in this sandbox, so lz4 is pure CPU overhead with no
+    # bandwidth to buy (a network cluster re-enables it); overridable
+    # via EMBER_EXTRA_CONF (applied later, wins)
+    bench_conf = {
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+    }
     execs = os.environ.get("EMBER_EXECUTORS")
     if execs:
         # real multi-executor mode: N single-core executor JVMs
         n_cores = int(execs)
         spark = get_spark(
-            "ember_bench", shuffle_partitions=n_cores, executors=n_cores
+            "ember_bench", shuffle_partitions=n_cores, executors=n_cores,
+            extra_conf=bench_conf,
         )
     else:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         n_cores = int(cpus) if cpus else (os.cpu_count() or 8)
-        spark = get_spark("ember_bench", cores=n_cores, shuffle_partitions=n_cores)
+        spark = get_spark(
+            "ember_bench", cores=n_cores, shuffle_partitions=n_cores,
+            extra_conf=bench_conf,
+        )
 
     sf_tag = args.sf_dir.rstrip("/").split("sf")[-1]
     queries: dict[str, float] = {}
@@ -58,10 +162,17 @@ def main() -> None:
     gen_sec = time.time() - t0
 
     pipe = ERPipeline(spark)
+    # CPU window == timed window: JVM startup and corpus generation are
+    # excluded from both the wall AND the core-seconds, so the
+    # cpu-normalized scaling reading compares like with like at every
+    # parallelism level (startup CPU divided by a 4x-shorter wall used
+    # to inflate the high level's apparent core usage)
+    cpu = TreeCpuSampler().start()
     t0 = time.time()
     prepared = pipe.prepare(docs).persist()
     prepared.count()
     prep_sec = time.time() - t0
+    cpu.mark("er_prepare")
 
     # the pair table is materialized between block and score: the
     # Arrow-feature scoring stage then runs as its own job against a
@@ -73,16 +184,20 @@ def main() -> None:
     pairs = pipe.block(prepared).persist()
     n_pairs = pairs.count()
     block_sec = time.time() - t0
+    cpu.mark("er_block")
 
     t0 = time.time()
     scored = pipe.score(pairs, prepared).persist()
     n_scored = scored.count()
     score_sec = time.time() - t0
+    cpu.mark("er_score")
 
     t0 = time.time()
     entities = pipe.cluster(scored, prepared)
     n_entities = entities.select("entity_id").distinct().count()
     cluster_sec = time.time() - t0
+    cpu.mark("er_cluster")
+    er_cpu_sec = cpu.stop()
 
     er_sec = prep_sec + block_sec + score_sec + cluster_sec
     pairs_per_sec = n_scored / (block_sec + score_sec) if block_sec + score_sec > 0 else 0.0
@@ -100,6 +215,21 @@ def main() -> None:
     pairs.unpersist()
     scored.unpersist()
     prepared.unpersist()
+
+    def drop_all_blocks() -> None:
+        """Unpersist EVERY cached RDD, including localCheckpoint blocks
+        (CC and the cascade checkpoint create these; DataFrame
+        .unpersist() and catalog.clearCache() do not release them).
+        Left in place, the ER section's blocks squeeze the execution
+        memory of every later query — the round-2 across-the-board
+        non-ER bench regression."""
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
+
+    drop_all_blocks()
 
     # ---------------- headline oracle queries at sf dir ---------------------
     if not args.er_only:
@@ -120,6 +250,7 @@ def main() -> None:
             df = fn(spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
             queries[name] = round(time.time() - t0, 3)
+            drop_all_blocks()
 
     out = {
         "metric": "candidate_pairs_per_sec",
@@ -135,6 +266,9 @@ def main() -> None:
             "scored_pairs": n_scored,
             "predicted_entities": n_entities,
             "er_wall_sec": round(er_sec, 3),
+            "er_cpu_core_sec": round(er_cpu_sec, 1),
+            "er_avg_cores": round(er_cpu_sec / er_sec, 2) if er_sec > 0 else None,
+            "er_stage_cpu": cpu.marks,
         },
     }
     print(json.dumps(out))

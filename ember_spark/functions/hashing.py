@@ -82,34 +82,53 @@ def simhash64_udf(tokens: pd.Series) -> pd.Series:
     return pd.Series([simhash64_py(list(t) if t is not None else None) for t in tokens], dtype="int64")
 
 
-#: executor-lifetime cache token -> raw u64 hash; tokens repeat heavily
-#: across documents, so blake2b runs ~once per vocabulary word per worker
-_EMB_CACHE: dict[str, int] = {}
+def th_from_tokens(tokens: list[str] | None) -> np.ndarray:
+    """The `th` payload: SORTED UNIQUE int32 token hashes (top 32 bits
+    of the u64 minhash base hash) of a token list. A ~100-token doc
+    pair has ~1e-6 odds of any cross-collision in 2^32 — irrelevant for
+    similarity FEATURES — and the pair shuffle ships half the bytes of
+    int64 hashes. unique runs AFTER the int32 cast so the array is
+    genuinely sorted in int32 order (unique-then-cast would wrap >=2^31
+    values negative and break the documented sortedness)."""
+    if not tokens:
+        return np.empty(0, dtype=np.int32)
+    hs = np.fromiter(
+        (_token_u64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    return np.unique((hs >> np.uint64(32)).astype(np.int64).astype(np.int32))
 
 
-def _emb_slot(t: str, dim: int) -> tuple[int, float]:
-    h = _EMB_CACHE.get(t)
-    if h is None:
-        h = _stable_u64(t, 1)
-        if len(_EMB_CACHE) < 4_000_000:  # bound worker memory
-            _EMB_CACHE[t] = h
-    return h % dim, (1.0 if (h >> 63) & 1 else -1.0)
+def emb_from_th(th, dim: int = 64) -> np.ndarray:
+    """Hashing-trick embedding as a PURE FUNCTION of the `th` hashed-
+    token array: slot = h mod dim, sign from an independent hash bit,
+    bincount-accumulated, L2-normalized, float32.
+
+    Deriving the embedding from `th` (instead of hashing raw tokens
+    separately) means any consumer already holding `th` — the scoring
+    UDF, the streaming assigner — can recompute the embedding EXACTLY
+    instead of shipping ~dim*4 bytes per record through the pair
+    shuffle: at 10^12 pairs that is the difference between a ~1.1 KB
+    and a ~0.85 KB pair payload on the widest shuffle of the job."""
+    if th is None or len(th) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    u = np.asarray(th, dtype=np.int64) & 0xFFFFFFFF  # reinterpret as u32
+    v = np.bincount(
+        (u % dim).astype(np.intp),
+        weights=np.where((u >> 20) & 1 == 1, 1.0, -1.0),
+        minlength=dim,
+    )
+    n = np.linalg.norm(v)
+    if n > 0:
+        v = v / n
+    return v.astype(np.float32)
 
 
 def hash_embedding_py(tokens: list[str] | None, dim: int = 64) -> list[float]:
-    """Hashing-trick embedding: each token adds ±1 at a hashed index;
-    L2-normalized. Deterministic (blake2b) across processes."""
-    v = np.zeros(dim, dtype=np.float64)
-    if tokens:
-        for t in tokens:
-            h = _stable_u64(t, 1)
-            idx = h % dim
-            sign = 1.0 if (h >> 63) & 1 else -1.0
-            v[idx] += sign
-    n = np.linalg.norm(v)
-    if n > 0:
-        v /= n
-    return [float(x) for x in v]
+    """Hashing-trick embedding of a token list = emb_from_th of its
+    hashed UNIQUE token set; L2-normalized, deterministic (blake2b)
+    across processes. The python mirror of `make_hash_embedding_udf`
+    and of `prepare`'s emb output."""
+    return [float(x) for x in emb_from_th(th_from_tokens(tokens), dim)]
 
 
 # ------------------------------------------------------- numpy minhash
@@ -201,32 +220,15 @@ def make_prepare_udf(dim: int = 64, num_hashes: int = 64):
         embs, sigs, ths = [], [], []
         for toks, btoks in zip(tokens, block_tokens):
             tl = list(toks) if toks is not None else None
-            v = np.zeros(dim, dtype=np.float64)
-            if tl:
-                for t in tl:
-                    idx, sign = _emb_slot(t, dim)
-                    v[idx] += sign
-                n = np.linalg.norm(v)
-                if n > 0:
-                    v /= n
-            embs.append(v.astype(np.float32))
+            # th first, emb DERIVED from it (emb_from_th): consumers
+            # holding th can recompute emb exactly, so the scoring
+            # shuffle ships th only (see emb_from_th docstring)
+            th = th_from_tokens(tl)
+            ths.append(th)
+            embs.append(emb_from_th(th, dim))
             sigs.append(
                 minhash_signature_py(list(btoks) if btoks is not None else None, num_hashes)
             )
-            if tl:
-                hs = np.fromiter(
-                    (_token_u64(t) for t in tl), dtype=np.uint64, count=len(tl)
-                )
-                # top 32 bits only: a ~100-token doc pair has ~1e-6 odds
-                # of any cross-collision in 2^32 — irrelevant for a
-                # similarity FEATURE — and the pair shuffle ships half
-                # the bytes of int64 hashes. unique AFTER the int32
-                # cast, so the array is genuinely sorted in int32 order
-                # (unique-then-cast would wrap >=2^31 values negative
-                # and break the documented sortedness)
-                ths.append(np.unique((hs >> np.uint64(32)).astype(np.int64).astype(np.int32)))
-            else:
-                ths.append(np.empty(0, dtype=np.int32))
         return pd.DataFrame({"emb": embs, "sig": sigs, "th": ths})
 
     return _prep
@@ -329,20 +331,20 @@ def make_hyperplane_bands_udf(dim: int, bands: int, rows: int, probe_bits: int =
 
 
 def make_hash_embedding_udf(dim: int = 64):
+    """Arrow-batched tokens -> hashing-trick embedding (the same
+    emb_from_th(th_from_tokens(.)) every other path uses — one
+    definition, bit-identical across prepare / training / streaming)."""
+
     @F.pandas_udf(ArrayType(FloatType()))
     def _emb(tokens: pd.Series) -> pd.Series:
-        out = []
-        for toks in tokens:
-            v = np.zeros(dim, dtype=np.float64)
-            if toks is not None and len(toks):
-                for t in toks:
-                    idx, sign = _emb_slot(t, dim)
-                    v[idx] += sign
-                n = np.linalg.norm(v)
-                if n > 0:
-                    v /= n
-            out.append(v.astype(np.float32))
-        return pd.Series(out)
+        return pd.Series(
+            [
+                emb_from_th(
+                    th_from_tokens(list(t) if t is not None else None), dim
+                )
+                for t in tokens
+            ]
+        )
 
     return _emb
 

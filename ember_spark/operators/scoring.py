@@ -98,32 +98,46 @@ def pair_features(
     )
 
 
-def make_pair_text_features_udf(max_len: int = 80):
+def make_pair_text_features_udf(max_len: int = 80, emb_dim: int | None = None):
     """ONE Arrow batch UDF computing the python-only pair features —
-    (f_jaccard, f_containment, f_jw) — from the pair payload. This is
-    the north-star scoring shape ("score pairs with batched Arrow/
-    pandas UDFs computing Jaro-Winkler + token-Jaccard features"):
-    feature work runs in Python worker PROCESSES, which scale with
-    executors (each brings its own workers). The embedding cosine and
-    length-ratio features stay JVM-side in whole-stage codegen
-    (`cosine_sim_fixed` static expansion) — shipping the embeddings
-    through the Arrow stream only to run one einsum cost more in JVM
-    Arrow serialization (GC pressure that stole python-worker CPU at
-    high parallelism) than the dot product is worth. Inputs: text_l/r
-    (strings, full or pre-truncated) and tok_l/r (token or hashed-token
-    arrays).
+    (f_jaccard, f_containment, f_jw[, f_cos]) — from the pair payload.
+    This is the north-star scoring shape ("score pairs with batched
+    Arrow/pandas UDFs computing Jaro-Winkler + token-Jaccard +
+    embedding-cosine features"): feature work runs in Python worker
+    PROCESSES, which scale with executors (each brings its own
+    workers). Inputs: text_l/r (strings, full or pre-truncated) and
+    tok_l/r (token or hashed-token arrays).
+
+    With `emb_dim`, f_cos is RECOMPUTED from the hashed-token arrays
+    (`emb_from_th` — the embedding is a pure function of `th`), so the
+    pair shuffle never carries the embedding vectors at all: ~dim*4
+    bytes per pair side off the widest shuffle of the job, in exchange
+    for a bincount per pair in the (linearly-scaling) python workers.
+    Without `emb_dim`, cosine stays a JVM codegen concern of the caller
+    (`cosine_sim_fixed` over shipped embeddings — the pre-round-3
+    shape, kept for token-string callers).
     """
     from pyspark.sql.types import StructField, StructType
 
+    from ember_spark.functions.hashing import emb_from_th, th_from_tokens
     from ember_spark.functions.similarity import jaro_winkler_py
 
-    schema = StructType(
-        [
-            StructField("f_jaccard", DoubleType()),
-            StructField("f_containment", DoubleType()),
-            StructField("f_jw", DoubleType()),
-        ]
-    )
+    def _emb_vec(x) -> np.ndarray:
+        """float64 view of the float32 unit embedding for either a
+        hashed-token (int) array or a raw token-string array."""
+        a = np.asarray(x) if x is not None else np.empty(0, dtype=np.int32)
+        if a.dtype.kind not in "iu":
+            a = th_from_tokens(list(x) if x is not None else None)
+        return emb_from_th(a, emb_dim).astype(np.float64)
+
+    fields = [
+        StructField("f_jaccard", DoubleType()),
+        StructField("f_containment", DoubleType()),
+        StructField("f_jw", DoubleType()),
+    ]
+    if emb_dim:
+        fields.append(StructField("f_cos", DoubleType()))
+    schema = StructType(fields)
 
     def _tok_overlap(a, b) -> tuple[int, int, int]:
         """(inter, |a|, |b|) treating each side as a set. int64 arrays
@@ -153,8 +167,10 @@ def make_pair_text_features_udf(max_len: int = 80):
         jac = np.zeros(n)
         cont = np.zeros(n)
         jw = np.zeros(n)
+        cos = np.zeros(n) if emb_dim else None
         for i in range(n):
-            inter, la, lb = _tok_overlap(tok_l.iloc[i], tok_r.iloc[i])
+            tl, tr = tok_l.iloc[i], tok_r.iloc[i]
+            inter, la, lb = _tok_overlap(tl, tr)
             union = la + lb - inter
             jac[i] = inter / union if union else 0.0
             mn = min(la, lb)
@@ -164,9 +180,16 @@ def make_pair_text_features_udf(max_len: int = 80):
                 ta if ta is None else ta[:max_len],
                 tb if tb is None else tb[:max_len],
             )
-        return pd.DataFrame(
-            {"f_jaccard": jac, "f_containment": cont, "f_jw": jw}
-        )
+            if emb_dim:
+                # float32 unit vectors (exactly what prepare stores),
+                # dot in float64 — matches the JVM cosine on shipped
+                # embeddings to ~1e-14 (same products, only summation
+                # order differs)
+                cos[i] = float(np.dot(_emb_vec(tl), _emb_vec(tr)))
+        out = {"f_jaccard": jac, "f_containment": cont, "f_jw": jw}
+        if emb_dim:
+            out["f_cos"] = cos
+        return pd.DataFrame(out)
 
     return _feats
 

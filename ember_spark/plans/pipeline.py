@@ -276,14 +276,20 @@ class ERPipeline:
         # intersect in the UDF); the JVM feature modes need the strings
         use_th = self.cfg.feature_mode == "arrow" and "th" in prepared.columns
         tok_col = "th" if use_th else "tokens"
-        slim = prepared.select(
-            id_col,
+        # arrow mode never ships the embedding: f_cos is recomputed
+        # from `th` inside the feature UDF (emb_from_th — the embedding
+        # is a pure function of th), cutting ~dim*4 bytes per side off
+        # the pair shuffle, the widest shuffle of the job
+        slim_cols = [
             F.substring("text", 1, 80).alias("text"),
             F.length("text").cast("double").alias("text_len"),
-            tok_col,
-            "emb",
-        )
-        payload_cols = ["text", "text_len", tok_col, "emb"]
+            F.col(tok_col),
+        ]
+        payload_cols = ["text", "text_len", tok_col]
+        if not use_th:
+            slim_cols.append(F.col("emb"))
+            payload_cols.append("emb")
+        slim = prepared.select(id_col, *slim_cols)
         if self.cfg.payload_mode == "bucketed":
             withpay = attach_pair_payload_bucketed(
                 pairs, slim, id_col, payload_cols,
@@ -301,9 +307,9 @@ class ERPipeline:
             withpay = salted_repartition(withpay, "id_l", "id_r", parts, self.cfg.salt)
         out_cols = ["id_l", "id_r", *FEATURES, "score", "prediction"]
         if self.cfg.feature_mode == "arrow":
-            from ember_spark.functions.similarity import cosine_sim_fixed
-
-            feats_udf = make_pair_text_features_udf()
+            feats_udf = make_pair_text_features_udf(
+                emb_dim=self.cfg.embedding_dim
+            )
             mx = F.greatest("text_len_l", "text_len_r")  # full-text lens
             mn = F.least("text_len_l", "text_len_r")
             feats = withpay.withColumn(
@@ -318,10 +324,7 @@ class ERPipeline:
                 F.col("_f.f_jaccard").alias("f_jaccard"),
                 F.col("_f.f_containment").alias("f_containment"),
                 F.col("_f.f_jw").alias("f_jw"),
-                cosine_sim_fixed(
-                    F.col("emb_l"), F.col("emb_r"),
-                    self.cfg.embedding_dim, normalized=True,
-                ).alias("f_cos"),
+                F.col("_f.f_cos").alias("f_cos"),
                 F.when(mx == 0, F.lit(1.0)).otherwise(mn / mx).alias("f_len_ratio"),
             )
             return self.cfg.matcher.predict(feats).select(*out_cols)

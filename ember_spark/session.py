@@ -92,7 +92,11 @@ def get_spark(
             b = b.config("spark.local.dir", shm)
         except OSError:
             pass
-    # ad-hoc conf overrides for experiments / site tuning:
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    # ad-hoc conf overrides for experiments / site tuning — applied
+    # LAST so the env always wins over programmatic defaults:
     #   EMBER_EXTRA_CONF="spark.x=1;spark.y=2"
     env_extra = os.environ.get("EMBER_EXTRA_CONF")
     if env_extra:
@@ -100,9 +104,6 @@ def get_spark(
             if "=" in kv:
                 k, _, v = kv.partition("=")
                 b = b.config(k.strip(), v.strip())
-    if extra_conf:
-        for k, v in extra_conf.items():
-            b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

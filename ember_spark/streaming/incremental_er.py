@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ember_spark.functions.hashing import lsh_band_keys, make_prepare_udf
-from ember_spark.functions.similarity import cosine_sim_fixed
 from ember_spark.operators.scoring import LogisticMatcher, make_pair_text_features_udf
 from ember_spark.functions.tokenize import tokenize_auto
 
@@ -53,6 +52,8 @@ def band_corpus(
     payload and the doc's resolved entity id. Build once from the batch
     pipeline's `prepared` + `entities` outputs and persist/bucket it."""
     ent = entities.select("url", "entity_id")
+    # no c_emb: f_cos is recomputed from c_th inside the feature UDF
+    # (emb_from_th), mirroring the batch scorer's slimmed pair payload
     return (
         prepared.join(ent, "url")
         .select(
@@ -62,7 +63,6 @@ def band_corpus(
             F.substring("text", 1, 80).alias("c_text"),
             F.length("text").cast("double").alias("c_len"),
             F.col("th").alias("c_th"),
-            F.col("emb").alias("c_emb"),
         )
     )
 
@@ -110,7 +110,6 @@ def streaming_entity_assign(
             F.substring("text", 1, 80).alias("s_text"),
             F.length("text").cast("double").alias("s_len"),
             F.col("_p.th").alias("s_th"),
-            F.col("_p.emb").alias("s_emb"),
             F.explode(lsh_band_keys(F.col("_p.sig"), bands, rows)).alias("band_key"),
         )
     )
@@ -124,7 +123,7 @@ def streaming_entity_assign(
         .join(banded_corpus, "band_key", "left_outer")
         .dropDuplicates(["ts", "url", "c_rid"])
     )
-    feats_udf = make_pair_text_features_udf()
+    feats_udf = make_pair_text_features_udf(emb_dim=embedding_dim)
     mx = F.greatest("s_len", "c_len")
     mn = F.least("s_len", "c_len")
     scored = (
@@ -139,9 +138,7 @@ def streaming_entity_assign(
             F.col("_f.f_jaccard").alias("f_jaccard"),
             F.col("_f.f_containment").alias("f_containment"),
             F.col("_f.f_jw").alias("f_jw"),
-            cosine_sim_fixed(
-                F.col("s_emb"), F.col("c_emb"), embedding_dim, normalized=True
-            ).alias("f_cos"),
+            F.col("_f.f_cos").alias("f_cos"),
             # batch parity: both-empty -> 1.0 exactly like pair_features
             # and the arrow scorer; a null (no band match) row's score
             # is nulled via entity_id anyway

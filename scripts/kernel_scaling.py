@@ -26,6 +26,7 @@ import pandas as pd
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from ember_spark.functions.hashing import emb_from_th  # noqa: E402
 from ember_spark.functions.similarity import jaro_winkler_py  # noqa: E402
 
 N_BATCHES = 32
@@ -57,6 +58,14 @@ def work(n_batches: int) -> float:
             jac[i] = inter / union if union else 0.0
             cont[i] = inter / min(a.size, b.size)
             jw[i] = jaro_winkler_py(TEXT.iloc[i], TEXT.iloc[(i + 1) % n])
+            # round-3 kernel addition: f_cos recomputed from th
+            # (emb_from_th) instead of shipping embeddings
+            float(
+                np.dot(
+                    emb_from_th(a, 64).astype(np.float64),
+                    emb_from_th(b, 64).astype(np.float64),
+                )
+            )
     return time.time() - t0
 
 

@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 
 from ember_spark.fixtures import generate_pages
 from ember_spark.functions.hashing import lsh_band_keys
-from ember_spark.functions.similarity import cosine_sim_fixed
 from ember_spark.operators.benchmark import similar_clusters
 from ember_spark.operators.clustering import connected_components
 from ember_spark.operators.scoring import make_pair_text_features_udf
@@ -97,14 +96,13 @@ def test_stream_batch_parity_mixed_pages(spark, resolved_corpus, tmp_path):
         F.substring("text", 1, 80).alias("s_text"),
         F.length("text").cast("double").alias("s_len"),
         F.col("th").alias("s_th"),
-        F.col("emb").alias("s_emb"),
         F.explode(lsh_band_keys(F.col("sig"), cfg.bands, cfg.rows)).alias("band_key"),
     )
     cand = (
         s.join(banded, "band_key")
         .dropDuplicates(["url", "c_rid"])
     )
-    feats_udf = make_pair_text_features_udf()
+    feats_udf = make_pair_text_features_udf(emb_dim=cfg.embedding_dim)
     mx, mn = F.greatest("s_len", "c_len"), F.least("s_len", "c_len")
     scored = (
         cand.withColumn(
@@ -115,9 +113,7 @@ def test_stream_batch_parity_mixed_pages(spark, resolved_corpus, tmp_path):
             F.col("_f.f_jaccard").alias("f_jaccard"),
             F.col("_f.f_containment").alias("f_containment"),
             F.col("_f.f_jw").alias("f_jw"),
-            cosine_sim_fixed(
-                F.col("s_emb"), F.col("c_emb"), cfg.embedding_dim, normalized=True
-            ).alias("f_cos"),
+            F.col("_f.f_cos").alias("f_cos"),
             F.when(mx == 0, F.lit(1.0)).otherwise(mn / mx).alias("f_len_ratio"),
         )
         .withColumn("score", cfg.matcher.score_col())
@@ -221,6 +217,127 @@ def test_similar_clusters_auto_guard_drops_ubiquitous_token(spark):
         map(tuple, similar_clusters(small, top_n=5, max_token_df=None).collect())
     )
     assert auto_rows == none_rows
+
+
+# ------------------------------------------------- multimodal M5/M6 fusion
+def test_image_pair_fusion_and_gated_sum(spark):
+    """M5 fusion features (cos / L2-diff / hadamard-mean) and the M6
+    gated sum over image feature vectors — real math, no codec needed;
+    verified against numpy on the driver."""
+    from ember_spark.operators.multimodal import (
+        extract_image_features,
+        gated_sum_udf,
+        image_pair_features,
+    )
+
+    rows = [(i, bytes([i] * 8)) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    feats = extract_image_features(df, deterministic_fake=True, dim=16)
+    pairs = (
+        feats.alias("a")
+        .join(feats.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_l"),
+            F.col("b.id").alias("id_r"),
+            F.col("a.img_features").alias("img_features_l"),
+            F.col("b.img_features").alias("img_features_r"),
+        )
+    )
+    got = image_pair_features(pairs).collect()
+    assert len(got) == 15
+    import numpy as np
+
+    for r in got:
+        a = np.array(r["img_features_l"], dtype=np.float64)
+        b = np.array(r["img_features_r"], dtype=np.float64)
+        assert r["img_cos"] == pytest.approx(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), abs=1e-6
+        )
+        assert r["img_diff_l2"] == pytest.approx(float(np.linalg.norm(a - b)), abs=1e-6)
+        assert r["img_hadamard_mean"] == pytest.approx(float((a * b).mean()), abs=1e-6)
+
+    gate = gated_sum_udf([0.0] * 32, bias=0.0)  # g = 0.5 -> midpoint
+    fused = pairs.withColumn(
+        "fused", gate(F.col("img_features_l"), F.col("img_features_r"))
+    ).first()
+    mid = 0.5 * np.array(fused["img_features_l"]) + 0.5 * np.array(
+        fused["img_features_r"]
+    )
+    assert np.allclose(np.array(fused["fused"]), mid, atol=1e-6)
+
+
+# -------------------------------------------- fingerprint completeness
+def test_stage_fingerprints_cover_output_affecting_config(spark):
+    """ADVICE r2: every output-affecting knob must change the stage
+    fingerprints (else a manifest serves stale downstream checkpoints
+    after a config change); perf-only knobs must NOT (so a perf retune
+    can reuse checkpoints)."""
+    base = ERPipeline(spark, PipelineConfig()).stage_fingerprints(input_fp="x")
+    changing = [
+        PipelineConfig(use_url_key=False),
+        PipelineConfig(hot_token_df_frac=0.11),
+        PipelineConfig(hot_token_max=999),
+        PipelineConfig(feature_mode="cascade"),
+        PipelineConfig(use_cascade=False),
+        PipelineConfig(num_hashes=32),
+        PipelineConfig(block_cap=77),
+    ]
+    for cfg in changing:
+        fps = ERPipeline(spark, cfg).stage_fingerprints(input_fp="x")
+        assert fps != base, cfg
+    perf_only = [
+        PipelineConfig(salt=4),
+        PipelineConfig(score_partitions=3),
+        PipelineConfig(broadcast_payload=True),
+        PipelineConfig(payload_mode="bucketed"),
+    ]
+    for cfg in perf_only:
+        fps = ERPipeline(spark, cfg).stage_fingerprints(input_fp="x")
+        assert fps == base, cfg
+
+
+# ------------------------------------- flagship-oracle assumption guard
+def test_er_pipeline_oracle_assumptions_sf0001(spark):
+    """The er_pipeline_entities oracle rests on two corpus facts (see
+    the query docstring): candidate recall is exactly 1 (the shared
+    url-path key blocks every pair at driver scale), and no pair's
+    token jaccard sits within 1e-4 of the pinned 0.8565 boundary.
+    Guard both at sf0.001 so a testdata regeneration that breaks either
+    fails HERE, not in the driver's correctness gate."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata not present")
+    from ember_spark.plans.pipeline import ERPipeline
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        "lang",
+    )
+    pipe = ERPipeline(spark)
+    prepared = pipe.prepare(docs).persist()
+    n = prepared.count()
+    pairs = pipe.block(prepared)
+    assert pairs.count() == n * (n - 1) // 2  # recall exactly 1
+    toks = prepared.select("rid", F.array_distinct("tokens").alias("tk"))
+    min_margin = (
+        pairs.join(
+            toks.select(F.col("rid").alias("id_l"), F.col("tk").alias("tl")), "id_l"
+        )
+        .join(toks.select(F.col("rid").alias("id_r"), F.col("tk").alias("tr")), "id_r")
+        .withColumn("inter", F.size(F.array_intersect("tl", "tr")))
+        .withColumn("uni", F.size(F.array_union("tl", "tr")))
+        .withColumn(
+            "jac",
+            F.when(F.col("uni") == 0, 1.0).otherwise(F.col("inter") / F.col("uni")),
+        )
+        .agg(F.min(F.abs(F.col("jac") - 0.8565)))
+        .first()[0]
+    )
+    assert min_margin > 1e-4, min_margin
+    prepared.unpersist()
 
 
 # --------------------------------------------------- CC checkpoint hygiene
