@@ -3,9 +3,10 @@
 Times attach_pair_payload (two sort-merge exchanges of the pair table
 per run) against attach_pair_payload_bucketed (one-time bucketed write,
 then exchange-free joins) on the synthetic ER corpus. Reports both the
-write cost and the per-join cost — the bucketed variant wins when the
-payload join runs more than ~once per pair table (rescoring, feature
-iteration), which is the 10^12-pair operating mode.
+write cost and the per-join cost. On this tmpfs-shuffle box the shuffle
+join stays cheaper (and is the pipeline default); the bucketed plan's
+value is shape, not local wall — zero Exchange per re-join of the pair
+table, which on a network cluster at 10^12 pairs is the whole game.
 
 Usage: python scripts/bucketed_bench.py [entities]
 """
@@ -88,10 +89,18 @@ def main() -> None:
             "",
             "One-time bucketed+sorted write of corpus and pair table, then"
             " exchange-free bucket-to-bucket joins, vs re-exchanging the"
-            " pair table through two sort-merge joins on every run. The"
-            " bucketed variant wins whenever the payload join runs more"
-            " than ~once per pair table (rescoring, feature iteration) —"
-            " the 10^12-pair operating mode.",
+            " pair table through two sort-merge joins on every run.",
+            "",
+            "What these numbers do and do not show: on THIS box shuffles"
+            " travel through tmpfs, so the exchange the bucketed plan"
+            " eliminates costs almost nothing and the bucketed table-scan"
+            " overhead dominates — the shuffle join is the right local"
+            " default (and the pipeline's default). The bucketed path is"
+            " the NETWORK-cluster scale play: its value is the plan shape"
+            " — zero Exchange on the pair table per join, machine-asserted"
+            " in tests/test_scale_paths.py — where each re-join of a 10^12-row"
+            " pair table otherwise re-shuffles it across the wire"
+            " (rescoring, feature iteration, multi-model sweeps).",
             "",
             "| input | shuffle join | bucketed write+join | bucketed steady-state join |",
             "|---|---|---|---|",
