@@ -408,6 +408,24 @@ def q_ann_topk(spark, sf):  # brute-force cosine top-k (exact baseline)
     return res.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF top-k with EXHAUSTIVE probe (n_probe == n_centroids): every
+    inverted list is probed, so the result is exactly brute force —
+    which makes the whole IVF machinery (driver-trained spherical
+    k-means quantizer, argmax-cosine list assignment, probe equi-join,
+    exact re-rank) value-checkable against the same SQL oracle as
+    `ann_topk`. Partial-probe recall is measured separately
+    (tests/test_dedup.py::test_ivf_topk_recall_with_partial_probe)."""
+    from ember_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    res = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3,
+        n_centroids=16, n_probe=16, sample_size=5000,
+    )
+    return res.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+
+
 def q_m7_pairwise_prf(spark, sf):  # M7: positive-class P/R/F1 aggregation
     from ember_spark.functions.similarity import cosine_sim
 
@@ -681,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "m7_pairwise_prf": q_m7_pairwise_prf,
         "benchmark_pairs": q_benchmark_pairs,
         "benchmark_rl_pairs": q_benchmark_rl_pairs,
@@ -702,7 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # =====================================================================
 def oracle_sql() -> dict[str, str]:
     toks = _DUCK_TOKS.format(c="text")
-    return {
+    sqls = {
         "a1_groupby_count": """
             SELECT l_returnflag, l_linestatus, count(*) AS n
             FROM lineitem GROUP BY 1, 2
@@ -1382,3 +1401,8 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
     }
+    # IVF with exhaustive probe is exactly brute force (every inverted
+    # list probed), so it shares the ann_topk oracle verbatim — see
+    # q_ann_ivf_topk's docstring.
+    sqls["ann_ivf_topk"] = sqls["ann_topk"]
+    return sqls

@@ -5,12 +5,21 @@
   distributed over N — right answer for small Q at any N.
 - LSH-bucketed top-k: random-hyperplane buckets with multi-probe
   (signature hamming-neighbors), approximate at web scale.
+- IVF top-k: a driver-trained k-means coarse quantizer (centroids are
+  tiny and broadcast), corpus partitioned into inverted lists by an
+  argmax-cosine Arrow UDF, queries probe their `n_probe` nearest lists
+  via an equi-join, exact cosine re-ranks. `n_probe == n_centroids`
+  degenerates to exact brute force (tested); recall/cost scales with
+  `n_probe`.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 from ember_spark.functions.hashing import make_hyperplane_bands_udf
 from ember_spark.functions.similarity import cosine_sim
@@ -84,6 +93,133 @@ def lsh_topk(
         .withColumn("cos", cosine_sim(F.col("q_emb"), F.col("c_emb")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ------------------------------------------------------------- IVF
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 50_000,
+    iters: int = 12,
+    seed: int = 142,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a DETERMINISTIC
+    hash-sample of the corpus (hash(id) ordering is partition-layout
+    independent, unlike df.sample whose draw depends on row order).
+    The sample — not the corpus — crosses to the driver: a coarse
+    quantizer needs only ~1000x its centroid count in training points,
+    so `sample_size` stays driver-safe at any corpus scale. Returns
+    (n_centroids, dim) float64, rows L2-normalized."""
+    samp = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"))
+        .withColumn("_h", F.xxhash64(F.col("_id"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(sample_size)
+        .select("_e")
+        .collect()
+    )
+    X = np.asarray([r["_e"] for r in samp], dtype=np.float64)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(n > 0, n, 1.0)
+    rng = np.random.default_rng(seed)
+    kc = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=kc, replace=False)]
+    for _ in range(iters):
+        # spherical k-means: assign by max dot (== cosine on unit rows)
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = np.zeros_like(C)
+        for j in range(kc):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                nm = np.linalg.norm(m)
+                newC[j] = m / nm if nm > 0 else C[j]
+            else:  # dead list: reseed from a random point (seeded rng)
+                newC[j] = X[rng.integers(len(X))]
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def _assign_udfs(centroids: np.ndarray, n_probe: int):
+    """Two Arrow UDFs over a broadcast-by-closure centroid matrix:
+    corpus-side argmax list id, query-side top-n_probe list ids."""
+    C = centroids  # (k, dim) float64, unit rows; ships in the closure
+
+    @F.pandas_udf(IntegerType())
+    def _nearest(emb: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def _topn(emb: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        sims = X @ C.T
+        p = min(n_probe, C.shape[0])
+        idx = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return _nearest, _topn
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    centroids: np.ndarray | None = None,
+    sample_size: int = 50_000,
+    seed: int = 142,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows land in the inverted list of
+    their nearest centroid (one int32 key — at rest this is a partition
+    column, so a probe reads n_probe/n_centroids of the data); each
+    query explodes to its `n_probe` nearest lists; an equi-join on the
+    list id yields candidates; exact cosine re-ranks.
+
+    The shuffle is an equi-join on a low-cardinality int key — no
+    crossJoin, no driver loop; centroid training is the only driver
+    step and touches a bounded hash-sample. Pass a precomputed
+    `centroids` matrix to reuse a trained quantizer across calls
+    (the at-scale pattern: train once, probe many).
+    Recall is governed by n_probe; n_probe == n_centroids is exact
+    (every list probed == brute force)."""
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_centroids, emb_col, id_col,
+            sample_size=sample_size, seed=seed,
+        )
+    nearest_udf, topn_udf = _assign_udfs(centroids, n_probe)
+    inv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        nearest_udf(F.col(emb_col)).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode(topn_udf(F.col(emb_col))).alias("list_id"),
+    )
+    scored = (
+        q.join(inv, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_sim(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -88,6 +88,34 @@ def main() -> None:
         wall = time.time() - t0
         recall = len(got & truth) / len(truth)
         lines.append(f"| {bands} | {rows} | {probe} | {recall:.3f} | {wall:.1f} |")
+    # IVF: one quantizer trained once, probed at increasing depth
+    from ember_spark.operators.ann import ivf_topk, train_centroids
+
+    t0 = time.time()
+    cents = train_centroids(corpus, n_centroids=256, sample_size=50_000)
+    train_sec = time.time() - t0
+    lines += [
+        "",
+        f"IVF (256 inverted lists, quantizer trained once in"
+        f" {train_sec:.1f}s on a 50k hash-sample; probe depth sweeps"
+        f" recall against the same exact truth):",
+        "",
+        "| n_probe | fraction of corpus scanned | recall@k | wall (s) |",
+        "|---|---|---|---|",
+    ]
+    for n_probe in (4, 16, 64):
+        t0 = time.time()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                corpus, queries, k=k, centroids=cents, n_probe=n_probe
+            ).collect()
+        }
+        wall = time.time() - t0
+        recall = len(got & truth) / len(truth)
+        lines.append(
+            f"| {n_probe} | ~{n_probe / 256:.3f} | {recall:.3f} | {wall:.1f} |"
+        )
     lines.append("")
     lines.append(
         "Walls are NOT the headline at this shape: brute force is"

@@ -75,6 +75,11 @@ def main() -> int:
     ok &= check("no_cartesian_in_embedding_lsh", "CartesianProduct" not in p)
     p = plan_of(qs["ann_lsh_topk"](spark, SF))
     ok &= check("no_cartesian_in_ann_lsh", "CartesianProduct" not in p)
+    # IVF probe is an equi-join on the inverted-list id (the one
+    # intentional cross join in the repo is brute_force_topk's exact
+    # baseline, broadcast over a tiny query side)
+    p = plan_of(qs["ann_ivf_topk"](spark, SF))
+    ok &= check("no_cartesian_in_ann_ivf", "CartesianProduct" not in p)
 
     # benchmark builder: cluster-profile similarity + pair sampling are
     # keyed joins + windows — never a cross join

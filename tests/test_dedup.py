@@ -160,3 +160,49 @@ def test_probe_masks_full_hamming_ball(spark):
     assert sorted(masks) == sorted(
         [0, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12]
     )  # C(4,0)+C(4,1)+C(4,2) = 11 masks
+
+
+def test_ivf_topk_exact_when_all_lists_probed(spark, embs_moderate):
+    """IVF with n_probe == n_centroids probes every inverted list, so
+    its candidate set is the whole corpus: result must EQUAL brute
+    force row-for-row (same ordering, same tie-breaks)."""
+    from ember_spark.operators.ann import ivf_topk
+
+    q = embs_moderate.filter("vec_id < 10")
+    brute = brute_force_topk(embs_moderate, q, k=3).collect()
+    ivf = ivf_topk(
+        embs_moderate, q, k=3, n_centroids=8, n_probe=8, sample_size=1000
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(((r["query_id"], r["rank"], r["neighbor_id"]) for r in brute)) == \
+           sorted(((r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf))
+
+
+def test_ivf_topk_recall_with_partial_probe(spark, embs_moderate):
+    """With a planted top-1 neighbor at cos 0.55-0.75 and n_probe=4 of
+    8 lists, IVF must still find most planted neighbors (quantizer
+    cells are wide at dim 32 / 8 centroids, so probe-4 covers the
+    neighborhood)."""
+    from ember_spark.operators.ann import ivf_topk, train_centroids
+
+    C = train_centroids(embs_moderate, n_centroids=8, sample_size=1000)
+    q = embs_moderate.filter("vec_id < 60")  # the 60 planted bases
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(
+            embs_moderate, q, k=1, centroids=C, n_probe=4
+        ).collect()
+    }
+    hits = sum(1 for i in range(60) if got.get(i) == i + 1000)
+    assert hits >= 45, f"IVF probe-4 recall {hits}/60"
+
+
+def test_ivf_centroids_deterministic(spark, embs_moderate):
+    from ember_spark.operators.ann import train_centroids
+    import numpy as np
+
+    c1 = train_centroids(embs_moderate, n_centroids=8, sample_size=500)
+    c2 = train_centroids(embs_moderate, n_centroids=8, sample_size=500)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 32)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
