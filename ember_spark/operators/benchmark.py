@@ -247,7 +247,7 @@ def build_benchmark_pairs(
     exclude_pairs: DataFrame | None = None,
     total_pos: int | None = None,
     total_neg: int | None = None,
-    max_token_df: int | None = None,
+    max_token_df: int | str | None = "auto",
 ) -> DataFrame:
     """Ember-shaped labeled pair benchmark, fully distributed.
 
