@@ -17,6 +17,7 @@ from ember_spark.functions.similarity import (  # noqa: F401
 from ember_spark.functions.hashing import (  # noqa: F401
     minhash_signature,
     lsh_band_keys,
+    simhash64_df,
     simhash64_udf,
     hash_embedding_udf,
 )

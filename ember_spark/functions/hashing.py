@@ -3,10 +3,12 @@ SimHash, hashing-trick embeddings.
 
 MinHash/banding are pure native expressions built on `xxhash64`
 (seeded by position) — fully codegen'd, no Python, and deterministic
-across runs/executors (SURVEY.md §7.1 step 4). SimHash and the hashing
-embedding need per-bit accumulators that would blow up codegen, so they
-are Arrow-batched pandas UDFs over numpy (documented slow path, used by
-dedup ops only).
+across runs/executors (SURVEY.md §7.1 step 4). SimHash is codegen too
+since round 3 (`simhash64_df`: md5-derived token hashes + 64
+map-side-combining vote aggregates — no Python stage, and
+oracle-checkable because md5 is cross-engine). The hyperplane/hashing
+embedding remains an Arrow-batched pandas UDF (documented slow path,
+used by dedup ops only).
 """
 
 from __future__ import annotations
@@ -60,13 +62,22 @@ def _stable_u64(token: str, seed: int) -> int:
     return struct.unpack("<Q", h)[0]
 
 
+def _md5_u64(token: str) -> int:
+    """First 16 hex chars of md5 as an unsigned 64-bit int — the one
+    64-bit token hash both Spark (`md5`+`conv`) and ANSI SQL engines
+    (DuckDB `md5` + hex cast) compute identically, which is what makes
+    SimHash oracle-checkable end-to-end."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:16], 16)
+
+
 def simhash64_py(tokens: list[str] | None) -> int:
-    """Pure-Python/numpy 64-bit SimHash of a token list (test oracle too)."""
+    """Pure-Python 64-bit SimHash of a token list (mirror of
+    `simhash64_df`; the unit-test oracle)."""
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for t in set(tokens):
-        h = _stable_u64(t, 0)
+        h = _md5_u64(t)
         bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     out = np.uint64(0)
@@ -79,7 +90,68 @@ def simhash64_py(tokens: list[str] | None) -> int:
 
 @F.pandas_udf(LongType())
 def simhash64_udf(tokens: pd.Series) -> pd.Series:
+    """Arrow mirror of `simhash64_py` — kept as a test/debug aid; the
+    dedup path uses the codegen `simhash64_df` (no Python stage)."""
     return pd.Series([simhash64_py(list(t) if t is not None else None) for t in tokens], dtype="int64")
+
+
+def simhash64_df(df, id_col: str = "id", tokens_col: str = "toks"):
+    """64-bit SimHash per row, entirely in whole-stage codegen — no
+    Python worker anywhere (reference near-dup op; SURVEY.md §2 dedup).
+
+    Per distinct token the 64-bit hash is md5-derived: `hi` = hex chars
+    1-8 (bits 32-63), `lo` = chars 9-16 (bits 0-31) — both `conv`-parsed
+    32-bit values that fit a BIGINT under ANSI mode, and bit-identical
+    to what any SQL engine with `md5` computes (the SimHash oracle in
+    `__spark_entry__.py` mirrors these expressions in DuckDB). The
+    per-bit majority vote is one groupBy with 64 map-side-combining
+    `sum` aggregates over the exploded distinct tokens — O(docs x
+    tokens) rows into a partial agg, not a per-bit explode. Docs with
+    no tokens get simhash 0 via the left join back to the id set.
+
+    Returns (id_col, simhash long).
+    """
+    ids = df.select(F.col(id_col).alias("_sid")).distinct()
+    tok = df.select(
+        F.col(id_col).alias("_sid"),
+        F.explode(F.array_distinct(F.coalesce(F.col(tokens_col), F.array()))).alias("_t"),
+    )
+    hexed = F.md5(F.col("_t"))
+    tok = tok.select(
+        "_sid",
+        F.conv(F.substring(hexed, 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(hexed, 9, 8), 16, 10).cast("long").alias("_lo"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("_lo" if b < 32 else "_hi"), b % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    voted = tok.groupBy("_sid").agg(*votes)
+    lo_out = sum(
+        (F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(1, 32)),
+        start=F.when(F.col("_v0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    hi_out = sum(
+        (F.when(F.col(f"_v{b}") > 0, F.lit(1 << (b - 32)).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(33, 64)),
+        start=F.when(F.col("_v32") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    sh = voted.select(
+        "_sid", F.shiftleft(hi_out, 32).bitwiseOR(lo_out).alias("simhash")
+    )
+    return (
+        ids.join(sh, "_sid", "left")
+        .select(
+            F.col("_sid").alias(id_col),
+            F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
+        )
+    )
 
 
 def th_from_tokens(tokens: list[str] | None) -> np.ndarray:

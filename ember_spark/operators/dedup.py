@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ember_spark.functions.hashing import make_hyperplane_bands_udf, simhash64_udf
+from ember_spark.functions.hashing import make_hyperplane_bands_udf, simhash64_df
 from ember_spark.functions.similarity import cosine_sim, cosine_sim_fixed, token_jaccard
 from ember_spark.functions.text import normalize_text
 from ember_spark.functions.tokenize import char_ngrams, tokenize_ws
@@ -177,9 +177,12 @@ def simhash_dedup(
     """
     chunks = max_hamming + 1
     bits = 64 // chunks
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        simhash64_udf(tokenize_ws(F.col(text_col))).alias("simhash"),
+    sh = simhash64_df(
+        df.select(
+            F.col(id_col).alias("id"), tokenize_ws(F.col(text_col)).alias("toks")
+        ),
+        "id",
+        "toks",
     )
     banded = sh.select(
         "id",

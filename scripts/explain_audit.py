@@ -86,6 +86,14 @@ def main() -> int:
     p = plan_of(qs["benchmark_rl_pairs"](spark, SF))
     ok &= check("no_cartesian_in_benchmark", "CartesianProduct" not in p)
 
+    # simhash is pure codegen since round 3 (md5-derived hashes + 64
+    # vote aggregates): no Python evaluator of any kind in the plan
+    p = plan_of(qs["simhash_dedup"](spark, SF))
+    ok &= check(
+        "simhash_no_python",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
     print("ALL OK" if ok else "AUDIT FAILURES")
     return 0 if ok else 1
 
