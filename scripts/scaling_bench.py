@@ -70,6 +70,13 @@ def run_level(cores: int, entities: int, trials: int) -> dict:
             "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
             "spark.sql.shuffle.partitions=32",
         )
+        # opt-in: size the JVM like an N-core executor container
+        # (ActiveProcessorCount=N) — on a real cluster every executor
+        # JVM sees exactly its core allotment and sizes GC/service
+        # pools for it; the default here lets the JVM see all host
+        # cores at every level (the round-2/3 published protocol)
+        if os.environ.get("EMBER_SCALING_APC"):
+            env["EMBER_APC"] = str(cores)
         cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"]
         out = subprocess.run(
             cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600
