@@ -1,0 +1,224 @@
+"""Pure-stdlib media codecs for the multimodal columns (SURVEY.md §2.8
+vision path; task-brief multimodal requirement).
+
+The container has no PIL/ffmpeg, but several formats need no codec
+library at all, so for them the decode step is REAL, not stubbed:
+
+- PPM/PGM (P5/P6 binary): header + raw samples — decoded by hand.
+- BMP (uncompressed 24/32-bit bottom-up): fixed header layout.
+- WAV (PCM16): stdlib `wave`.
+- Header sniffing (width/height/format) additionally covers PNG (IHDR)
+  and JPEG (SOF0/1/2 scan) and GIF — metadata extraction does not need
+  pixel decoding.
+
+Everything returns numpy so the Arrow-batched UDFs in
+`operators/multimodal.py` stay vectorized per batch. Formats beyond
+these still raise NotImplementedError at the decode step (declared
+stub), with the Spark-side plumbing unchanged.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+# --------------------------------------------------------------- sniffing
+def sniff_image_meta(b: bytes | None) -> tuple[int | None, int | None, str | None]:
+    """(width, height, format) from the header only — no pixel decode.
+
+    Supports ppm/pgm, bmp, png, gif, jpeg; (None, None, None) for
+    null/unknown payloads instead of raising (metadata extraction runs
+    over crawled blobs where junk is normal).
+    """
+    if not b or len(b) < 10:
+        return (None, None, None)
+    try:
+        if b[:2] in (b"P5", b"P6"):
+            w, h, _ = _ppm_header(b)[0:3]
+            return (w, h, "ppm")
+        if b[:2] == b"BM":
+            w, h = struct.unpack_from("<ii", b, 18)
+            return (w, abs(h), "bmp")
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack_from(">II", b, 16)
+            return (w, h, "png")
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", b, 6)
+            return (w, h, "gif")
+        if b[:2] == b"\xff\xd8":
+            return _jpeg_size(b)
+    except Exception:
+        return (None, None, None)
+    return (None, None, None)
+
+
+def _jpeg_size(b: bytes) -> tuple[int | None, int | None, str | None]:
+    """Walk JPEG segment markers to the first SOF frame header."""
+    i = 2
+    n = len(b)
+    while i + 9 < n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack_from(">H", b, i + 2)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", b, i + 5)
+            return (w, h, "jpeg")
+        i += 2 + seglen
+    return (None, None, "jpeg")
+
+
+# ------------------------------------------------------------ image decode
+def _ppm_header(b: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, maxval, data_offset, channels) of a binary
+    P5 (gray) / P6 (rgb) netpbm payload. Handles comments/whitespace."""
+    channels = 3 if b[:2] == b"P6" else 1
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":  # comment to EOL
+            while i < len(b) and b[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    return (w, h, maxval, i, channels)
+
+
+def decode_image_gray(b: bytes) -> np.ndarray:
+    """Decode a PPM/PGM/BMP payload to a float64 grayscale (h, w) array
+    in [0, 255]. Raises NotImplementedError for formats that need a
+    codec library (jpeg/png/...) — the declared stub boundary."""
+    if b[:2] in (b"P5", b"P6"):
+        w, h, maxval, off, ch = _ppm_header(b)
+        raw = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=off)
+        arr = raw.reshape(h, w, ch).astype(np.float64) * (255.0 / maxval)
+        return arr.mean(axis=2) if ch == 3 else arr[:, :, 0]
+    if b[:2] == b"BM":
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        w, h = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        compression = struct.unpack_from("<I", b, 30)[0]
+        if bpp not in (24, 32) or compression != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+        px = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        gray = px[:, :, :3].astype(np.float64).mean(axis=2)  # BGR -> gray
+        return gray[::-1] if flip else gray
+    raise NotImplementedError(
+        "image decode for this format requires codec libs not present "
+        "in this container (stdlib path covers ppm/pgm/bmp)"
+    )
+
+
+def block_mean_resize(arr: np.ndarray, side: int) -> np.ndarray:
+    """Resize (h, w) -> (side, side) by block averaging — the
+    deterministic, dependency-free stand-in for PIL's resize. Uses a
+    nearest-neighbor index grid so any input size maps cleanly."""
+    h, w = arr.shape
+    yi = (np.arange(side * 4) * h) // (side * 4)
+    xi = (np.arange(side * 4) * w) // (side * 4)
+    up = arr[np.ix_(yi, xi)]  # (4*side, 4*side) supersample
+    return up.reshape(side, 4, side, 4).mean(axis=(1, 3))
+
+
+# ------------------------------------------------------------ audio decode
+def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, mono float64 samples in [-1, 1]) of a PCM WAV
+    payload via stdlib `wave`. Raises NotImplementedError for
+    non-wav/compressed audio (the stub boundary)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio decode for this format requires codec libs not present "
+            "in this container (stdlib path covers PCM wav)"
+        )
+    with wave.open(io.BytesIO(b)) as f:
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"wav sample width {width}")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return (rate, x)
+
+
+def audio_features(x: np.ndarray, dim: int) -> np.ndarray:
+    """Fixed-dim descriptor of a mono signal: `dim - 1` frame RMS
+    energies (equal-width frames across the clip) + global
+    zero-crossing rate, L2-normalized. Deterministic, numpy-only."""
+    nf = max(dim - 1, 1)
+    if len(x) == 0:
+        return np.zeros(dim)
+    edges = (np.arange(nf + 1) * len(x)) // nf
+    rms = np.array(
+        [
+            np.sqrt(np.mean(x[edges[i] : max(edges[i + 1], edges[i] + 1)] ** 2))
+            for i in range(nf)
+        ]
+    )
+    zcr = np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))) if len(x) > 1 else 0.0
+    v = np.concatenate([rms, [zcr]])[:dim]
+    n = np.linalg.norm(v)
+    return v / n if n else v
+
+
+# ------------------------------------------------------------ test payloads
+def make_ppm(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as binary P6 — the test-side
+    generator for real decode coverage."""
+    h, w = pixels.shape[:2]
+    return b"P6\n# ember test\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as an uncompressed
+    24-bit bottom-up BMP."""
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in pixels[::-1]:  # bottom-up
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])  # BGR
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return bytes(header) + bytes(raster)
+
+
+def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Serialize mono float samples in [-1, 1] as PCM16 WAV."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()

@@ -2,14 +2,16 @@
 metadata (SURVEY.md §2.8 M5/M6 vision path; reference twin-tower ViT
 `vision_matcher.py:33-58`, gated-sum fusion `gatedsum.py:13-20`).
 
-Decode strategy (VERDICT r2 #9): if a codec library (PIL) is
-importable, `image_feature_extractor` REALLY decodes — resize to a
-fixed grid, grayscale, normalize — a deterministic, dependency-light
-perceptual embedding. In this container PIL is absent, so the
-extractor falls back to a clearly-marked stub: NotImplementedError by
-default, or a blake2b-seeded deterministic fake with
-`allow_fake=True` so the Spark-side plumbing (schema, Arrow batch
-shape, partitioning) stays testable either way.
+Decode strategy (VERDICT r2 #9): decode is REAL wherever a codec
+exists without external libs — `functions/codecs.py` decodes PPM/PGM
+and uncompressed BMP by hand and PCM WAV via stdlib `wave`, and sniffs
+width/height/format from PNG/JPEG/GIF/BMP/PPM headers with no pixel
+decode at all. If PIL happens to be importable it extends image decode
+to jpeg/png. Only formats with neither path fall back to the
+clearly-marked stub: NotImplementedError by default, or a
+blake2b-seeded deterministic fake with `allow_fake=True` so the
+Spark-side plumbing (schema, Arrow batch shape, partitioning) stays
+testable either way.
 
 Fusion (the parts that need no codec and are REAL here):
 - `image_pair_features` — the M5 twin-tower fusion surface: cosine,
@@ -27,7 +29,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
@@ -65,6 +67,8 @@ def image_feature_extractor(
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _extract(content: pd.Series) -> pd.Series:
+        from ember_spark.functions.codecs import block_mean_resize, decode_image_gray
+
         if use_pil:
             import io
 
@@ -74,9 +78,23 @@ def image_feature_extractor(
             if b is None:
                 out.append([0.0] * dim)
                 continue
-            if use_pil:
+            raw = bytes(b)
+            v = None
+            # 1) stdlib decode: ppm/pgm/bmp need no codec library
+            try:
+                g = decode_image_gray(raw)
+                v = block_mean_resize(g, side).ravel()[:dim]
+                v = np.pad(v, (0, dim - len(v)))
+                v = v - v.mean()
+            except NotImplementedError:
+                pass
+            except Exception:
+                out.append([0.0] * dim)
+                continue
+            # 2) PIL, when importable, covers jpeg/png/...
+            if v is None and use_pil:
                 try:
-                    img = Image.open(io.BytesIO(bytes(b))).convert("L")
+                    img = Image.open(io.BytesIO(raw)).convert("L")
                     v = np.asarray(
                         img.resize((side, side)), dtype=np.float64
                     ).ravel()[:dim]
@@ -85,21 +103,108 @@ def image_feature_extractor(
                 except Exception:
                     out.append([0.0] * dim)
                     continue
-            elif allow_fake:
-                h = hashlib.blake2b(bytes(b), digest_size=dim).digest()
-                v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
-                v = v / 255.0 * 2 - 1
-            else:
-                raise NotImplementedError(
-                    "image decode requires codec libs (PIL) not present in "
-                    "this container; pass allow_fake=True for the "
-                    "plumbing-test path"
-                )
+            # 3) declared stub boundary for codec-requiring formats
+            if v is None:
+                if allow_fake:
+                    h = hashlib.blake2b(raw, digest_size=dim).digest()
+                    v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
+                    v = v / 255.0 * 2 - 1
+                else:
+                    raise NotImplementedError(
+                        "image decode for this format requires codec libs "
+                        "(PIL) not present in this container; ppm/pgm/bmp "
+                        "decode natively — pass allow_fake=True for the "
+                        "plumbing-test path on other formats"
+                    )
             n = np.linalg.norm(v)
             out.append([float(x) for x in (v / n if n else v)])
         return pd.Series(out)
 
     return _extract
+
+
+def image_meta_udf():
+    """binary -> (width, height, format) typed metadata by header
+    sniffing alone (codecs.sniff_image_meta) — covers png/jpeg/gif/
+    bmp/ppm with zero codec dependencies; nulls for unknown payloads."""
+
+    @F.pandas_udf(IMAGE_META_SCHEMA)
+    def _meta(content: pd.Series) -> pd.DataFrame:
+        from ember_spark.functions.codecs import sniff_image_meta
+
+        rows = [
+            sniff_image_meta(bytes(b) if b is not None else None) for b in content
+        ]
+        return pd.DataFrame(rows, columns=["width", "height", "format"])
+
+    return _meta
+
+
+def extract_image_meta(
+    df: DataFrame, content_col: str = "content", out_prefix: str = ""
+) -> DataFrame:
+    """Append width/height/format columns sniffed from the binary."""
+    m = image_meta_udf()
+    out = df.withColumn("_immeta", m(F.col(content_col)))
+    for name in ["width", "height", "format"]:
+        out = out.withColumn(f"{out_prefix}{name}", F.col(f"_immeta.{name}"))
+    return out.drop("_immeta")
+
+
+def audio_feature_extractor(dim: int = 16, allow_fake: bool = False):
+    """binary (PCM WAV) -> float descriptor: frame RMS energies + global
+    zero-crossing rate (codecs.audio_features), Arrow-batched. The WAV
+    decode is REAL (stdlib `wave`); other audio formats hit the same
+    stub boundary as images."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _extract(content: pd.Series) -> pd.Series:
+        from ember_spark.functions.codecs import audio_features, decode_wav
+
+        out = []
+        for b in content:
+            if b is None:
+                out.append([0.0] * dim)
+                continue
+            raw = bytes(b)
+            try:
+                _, x = decode_wav(raw)
+                v = audio_features(x, dim)
+            except NotImplementedError:
+                if not allow_fake:
+                    raise
+                h = hashlib.blake2b(raw, digest_size=dim).digest()
+                v = np.frombuffer(h, dtype=np.uint8).astype(np.float64) / 255.0
+            except Exception:
+                v = np.zeros(dim)
+            out.append([float(x) for x in v])
+        return pd.Series(out)
+
+    return _extract
+
+
+def extract_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "audio_features",
+    dim: int = 16,
+    allow_fake: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Append audio feature vectors (same heavy-binary repartition
+    guidance as extract_image_features)."""
+    if partitions:
+        df = df.repartition(partitions)
+    fx = audio_feature_extractor(dim=dim, allow_fake=allow_fake)
+    return df.withColumn(out_col, fx(F.col(content_col)))
+
+
+def sample_frames(frames: Column | str, every_k: int) -> Column:
+    """Video-as-frame-array sampling: keep every k-th frame of an
+    array<binary> column. Pure JVM expression (two-arg `filter` over
+    the array index) — the frame payloads never cross into Python."""
+    col = F.col(frames) if isinstance(frames, str) else frames
+    return F.filter(col, lambda x, i: i % every_k == 0)
 
 
 def extract_image_features(

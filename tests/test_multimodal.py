@@ -1,0 +1,160 @@
+"""Real multimodal decode (round 3): PPM/BMP image decode, WAV audio
+decode and header-sniffed metadata run with ZERO codec libraries —
+the declared stub now only covers formats that genuinely need one
+(jpeg/png pixels, compressed audio). Reference parity: the vision
+matcher's feature extraction surface (`src/models/vision_matcher.py:
+33-58`), re-expressed as Arrow-batched UDFs over binary columns."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ember_spark.functions.codecs import (
+    audio_features,
+    block_mean_resize,
+    decode_image_gray,
+    decode_wav,
+    make_bmp,
+    make_ppm,
+    make_wav,
+    sniff_image_meta,
+)
+from ember_spark.operators.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    extract_image_meta,
+    sample_frames,
+)
+
+
+def _pixels(h=12, w=16, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# ------------------------------------------------------------- pure codecs
+def test_ppm_and_bmp_decode_same_pixels():
+    px = _pixels()
+    g_ppm = decode_image_gray(make_ppm(px))
+    g_bmp = decode_image_gray(make_bmp(px))
+    assert g_ppm.shape == (12, 16) == g_bmp.shape
+    # both grayscales are the channel mean of the SAME rgb content
+    assert np.allclose(g_ppm, px.astype(np.float64).mean(axis=2))
+    assert np.allclose(g_ppm, g_bmp)
+
+
+def test_ppm_header_with_comment():
+    px = _pixels(3, 2)
+    b = b"P6\n# a comment\n# another\n2 3\n255\n" + px.tobytes()
+    assert decode_image_gray(b).shape == (3, 2)
+
+
+def test_block_mean_resize_constant_regions():
+    arr = np.zeros((8, 8))
+    arr[:, 4:] = 100.0  # left half 0, right half 100
+    out = block_mean_resize(arr, 2)
+    assert np.allclose(out[:, 0], 0.0) and np.allclose(out[:, 1], 100.0)
+
+
+def test_sniff_meta_all_formats():
+    px = _pixels(5, 9)
+    assert sniff_image_meta(make_ppm(px)) == (9, 5, "ppm")
+    assert sniff_image_meta(make_bmp(px)) == (9, 5, "bmp")
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+    )
+    assert sniff_image_meta(png) == (640, 480, "png")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert sniff_image_meta(gif) == (320, 200, "gif")
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    )
+    assert sniff_image_meta(jpeg) == (640, 480, "jpeg")
+    assert sniff_image_meta(b"not an image at all") == (None, None, None)
+    assert sniff_image_meta(None) == (None, None, None)
+
+
+def test_wav_roundtrip_and_features():
+    t = np.arange(4000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, x = decode_wav(make_wav(sig, rate=8000))
+    assert rate == 8000
+    assert len(x) == 4000
+    assert np.max(np.abs(x - sig)) < 1e-3  # PCM16 quantization only
+    v = audio_features(x, dim=16)
+    assert v.shape == (16,)
+    assert np.linalg.norm(v) == pytest.approx(1.0)
+    # energy frames of a constant-amplitude sine are ~equal; zcr > 0
+    assert np.std(v[:15]) < 0.05 * np.mean(v[:15])
+    assert v[15] > 0
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x03mp3-ish bytes")
+
+
+# ----------------------------------------------------------- spark surface
+def test_extract_image_features_real_decode(spark):
+    """Identical RGB content serialized as ppm and bmp must embed to the
+    SAME feature vector through the full Spark path — proof the decode
+    is real, not a hash of the container bytes."""
+    px = _pixels(24, 24, seed=3)
+    px2 = _pixels(24, 24, seed=4)
+    rows = [
+        (0, bytearray(make_ppm(px))),
+        (1, bytearray(make_bmp(px))),
+        (2, bytearray(make_ppm(px2))),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {
+        r["id"]: np.array(r["img_features"])
+        for r in extract_image_features(df, dim=16).collect()
+    }
+    assert np.allclose(got[0], got[1], atol=1e-6)  # same pixels, two codecs
+    assert not np.allclose(got[0], got[2], atol=1e-2)  # different pixels
+    assert np.linalg.norm(got[0]) == pytest.approx(1.0, abs=1e-5)
+    assert np.all(got[3] == 0.0)  # null payload -> zero vector
+
+
+def test_extract_image_meta_spark(spark):
+    px = _pixels(6, 8)
+    rows = [(0, bytearray(make_ppm(px))), (1, bytearray(b"junk" * 5)), (2, None)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: (r["width"], r["height"], r["format"])
+           for r in extract_image_meta(df).collect()}
+    assert got[0] == (8, 6, "ppm")
+    assert got[1] == (None, None, None)
+    assert got[2] == (None, None, None)
+
+
+def test_extract_audio_features_spark(spark):
+    t = np.arange(2000) / 8000.0
+    quiet = 0.1 * np.sin(2 * np.pi * 220 * t)
+    loud_half = np.concatenate([np.zeros(1000), 0.9 * np.sin(2 * np.pi * 220 * t[:1000])])
+    rows = [(0, bytearray(make_wav(quiet))), (1, bytearray(make_wav(loud_half)))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: np.array(r["audio_features"])
+           for r in extract_audio_features(df, dim=8).collect()}
+    # driver-side mirror == spark result (determinism through Arrow)
+    assert np.allclose(got[0], audio_features(decode_wav(make_wav(quiet))[1], 8), atol=1e-6)
+    # the silent-then-loud clip has rising frame energies; the steady one doesn't
+    assert got[1][0] < got[1][-2]
+    # non-wav bytes raise (stub boundary) without allow_fake
+    bad = spark.createDataFrame([(0, bytearray(b"OggS fake"))], "id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_audio_features(bad, dim=8).collect()
+
+
+def test_sample_frames_jvm_side(spark):
+    frames = [bytearray([i]) for i in range(10)]
+    df = spark.createDataFrame([(0, frames)], "id long, frames array<binary>")
+    out = df.select(sample_frames("frames", 3).alias("kept")).first()["kept"]
+    assert [bytes(b)[0] for b in out] == [0, 3, 6, 9]
+    # no python evaluator in the plan: pure expression
+    plan = df.select(sample_frames("frames", 3))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
