@@ -145,6 +145,31 @@ def q_j1_join_agg(spark, sf):  # J1-analog equi-join + agg; nation broadcast
     )
 
 
+def q_j6_salted_join(spark, sf):
+    """J1-variant through the skew-spreading salted join: lineitem (fat,
+    every row kept) x supplier (compact, replicated salt ways) on
+    suppkey, then agg per nation. Salting is a physical rewrite only —
+    the oracle is the PLAIN equi-join, which the salted plan must match
+    exactly (ember_spark/operators/skew.py)."""
+    from ember_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity", "l_extendedprice"
+    )
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, on="suppkey", salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_q3_shipping(spark, sf):  # J1+T3: join, agg, deterministic top-10
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
@@ -699,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_anti_join": q_j3_anti_join,
         "f2_having_semi": q_f2_having_semi,
         "j1_join_agg": q_j1_join_agg,
+        "j6_salted_join": q_j6_salted_join,
         "q3_shipping": q_q3_shipping,
         "t1_topk_per_group_asc": q_t1_topk_per_group_asc,
         "t2_topk_per_group_desc": q_t2_topk_per_group_desc,
@@ -784,6 +810,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "j6_salted_join": """
+            SELECT s_nationkey,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n_rows
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY 1
         """,
         "q3_shipping": """

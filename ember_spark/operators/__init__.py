@@ -6,4 +6,5 @@ from ember_spark.operators.blocking import (  # noqa: F401
     cap_hot_blocks,
 )
 from ember_spark.operators.clustering import connected_components  # noqa: F401
+from ember_spark.operators.skew import salted_join  # noqa: F401
 from ember_spark.operators.scoring import pair_features, LogisticMatcher  # noqa: F401

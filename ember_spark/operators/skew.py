@@ -1,0 +1,61 @@
+"""Skew-join salting: the third leg of the repo's skew toolkit.
+
+The near-dup/blocking paths control skew BEFORE their joins
+(`cap_hot_blocks`, hot-token census) and AQE's skew-join splitter is
+on as a runtime backstop, but both have gaps a 100 TB pipeline hits:
+the cap DROPS hot keys (right for boilerplate blocks, wrong when every
+row must be kept — e.g. attaching a per-domain profile to a corpus
+where one domain is 30% of the crawl), and AQE can only split
+post-shuffle partitions of a sort-merge join, not the single straggler
+task of a shuffled hash join's hottest key.
+
+`salted_join` keeps every row: the fat side's key is extended with a
+deterministic salt in [0, salt), the compact side is replicated salt
+ways (an explode over `sequence`, JVM-side), and the equi-join runs on
+(key, salt) — the hot key's rows now land on `salt` different
+reducers. Cost model: replication multiplies the compact side by
+`salt`, so this is for fat x compact shapes (fact x dimension too big
+or too skewed to broadcast); for compact sides that fit in memory
+`broadcast()` is strictly better, and the pipeline's default
+shuffle-join is right when keys are uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fat: DataFrame,
+    compact: DataFrame,
+    on: list[str] | str,
+    salt: int = 8,
+    how: str = "inner",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join `fat` (skewed keys, every row kept) with `compact`
+    (replicated `salt` times) on (on..., salt).
+
+    The salt is deterministic — `xxhash64` of `salt_cols` (default: all
+    of the fat side's non-join columns) mod `salt` — so the same input
+    always routes the same way (resumable jobs, stable plans); it only
+    needs to SPREAD a hot key's rows, not be secret or uniform per row.
+
+    `how` supports 'inner' and 'left' (the shapes where every fat row
+    must survive; 'right'/'full' would need salt-aware null handling on
+    the replicated side and are refused rather than silently wrong).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    hash_cols = salt_cols or [c for c in fat.columns if c not in keys]
+    if not hash_cols:
+        hash_cols = keys  # degenerate: key-only fat side
+    fat_s = fat.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(salt))
+    )
+    compact_s = compact.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return fat_s.join(compact_s, keys + ["_salt"], how).drop("_salt")

@@ -94,6 +94,19 @@ def main() -> int:
         "BatchEvalPython" not in p and "ArrowEvalPython" not in p and "CartesianProduct" not in p,
     )
 
+    # salted join: a real equi-join whose keys INCLUDE the salt (so a
+    # hot key spreads across reducers when the join shuffles; at sf0.01
+    # AQE broadcasts the tiny dim, which is also correct), compact-side
+    # replication via JVM-side explode — no cartesian, no python
+    p = plan_of(qs["j6_salted_join"](spark, SF))
+    join_line = next((ln for ln in p.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln), "")
+    ok &= check(
+        "salted_join_shape",
+        "_salt" in join_line
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
     print("ALL OK" if ok else "AUDIT FAILURES")
     return 0 if ok else 1
 
