@@ -55,7 +55,6 @@ class TreeCpuSampler:
             return
         me = os.getpid()
         live: dict[int, float] = {}
-        delta = 0.0
         for line in lines:
             a = line.strip().split(None, 1)
             if len(a) != 2 or not a[0].isdigit():
@@ -74,14 +73,26 @@ class TreeCpuSampler:
             except Exception:
                 continue
             live[pid] = cpu_sec
-            prev = self._seen.get(pid)
-            # pid first seen: only CPU burned AFTER start() belongs to
-            # the window, so the baseline snapshot taken in start()
-            # (or this tick, for workers spawned mid-window) is the
-            # floor, not zero
-            delta += cpu_sec - (prev if prev is not None else 0.0)
+        # the delta MUST be computed against _seen inside the lock:
+        # the background tick and a mark()/stop() tick otherwise race,
+        # both diffing the same baseline and double-counting an
+        # interval into the published cpu-normalized efficiency. A
+        # reordered (stale) sample clamps to 0 instead of going
+        # negative.
         with self._lock:
-            self._seen = live
+            delta = 0.0
+            for pid, cpu_sec in live.items():
+                prev = self._seen.get(pid)
+                # pid first seen: only CPU burned AFTER start() belongs
+                # to the window, so the baseline snapshot in start()
+                # (or this tick, for workers spawned mid-window) is the
+                # floor, not zero
+                delta += max(cpu_sec - (prev if prev is not None else 0.0), 0.0)
+            # per-pid counters are monotonic: keep the max so a stale
+            # (reordered) sample can never lower a floor
+            self._seen = {
+                pid: max(cpu, self._seen.get(pid, 0.0)) for pid, cpu in live.items()
+            }
             self.total += delta
 
     def start(self) -> "TreeCpuSampler":

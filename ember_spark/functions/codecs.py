@@ -97,6 +97,19 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int, int]:
         i = j
     i += 1  # single whitespace after maxval, then raster
     w, h, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"netpbm maxval {maxval} out of range")
+    # CRLF-tolerant: the spec allows exactly ONE whitespace byte before
+    # the raster, but CRLF writers emit two. A raster may legitimately
+    # START with 0x0A, so disambiguate by size: consume the extra '\n'
+    # only when the remaining bytes still cover the full raster.
+    expected = w * h * channels * (2 if maxval > 255 else 1)
+    if (
+        b[i - 1 : i] == b"\r"
+        and b[i : i + 1] == b"\n"
+        and len(b) - (i + 1) >= expected
+    ):
+        i += 1
     return (w, h, maxval, i, channels)
 
 
@@ -106,7 +119,10 @@ def decode_image_gray(b: bytes) -> np.ndarray:
     codec library (jpeg/png/...) — the declared stub boundary."""
     if b[:2] in (b"P5", b"P6"):
         w, h, maxval, off, ch = _ppm_header(b)
-        raw = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=off)
+        # maxval > 255 means 2 bytes per sample, most significant first
+        # (netpbm spec) — decode for real rather than misread 1 byte
+        dtype = ">u2" if maxval > 255 else np.uint8
+        raw = np.frombuffer(b, dtype=dtype, count=w * h * ch, offset=off)
         arr = raw.reshape(h, w, ch).astype(np.float64) * (255.0 / maxval)
         return arr.mean(axis=2) if ch == 3 else arr[:, :, 0]
     if b[:2] == b"BM":

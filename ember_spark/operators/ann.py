@@ -125,6 +125,10 @@ def train_centroids(
         .select("_e")
         .collect()
     )
+    if not samp:
+        raise ValueError(
+            "train_centroids: empty corpus/sample — nothing to quantize"
+        )
     X = np.asarray([r["_e"] for r in samp], dtype=np.float64)
     n = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(n > 0, n, 1.0)

@@ -96,11 +96,14 @@ def similar_clusters(
     pairs while adding ~no discrimination; an unguarded ubiquitous token
     makes the join quadratic in the cluster count). The default "auto"
     derives the cap from a census of the profile table:
-    max(50, ceil(5*sqrt(C))) for C clusters — inactive on small corpora
-    (cap > C, nothing dropped: small-fixture results are unchanged) and
-    sub-quadratic per token at scale (each hot token contributes
-    <= 25*C pairs instead of C^2). Pass an int to pin the cap (the
-    oracle-checked benchmark queries pin 60) or None to disable.
+    max(100, ceil(5*sqrt(C))) for C clusters — inactive exactly when
+    C <= 100 (cap >= C, nothing dropped: small-fixture results are
+    unchanged) and sub-quadratic per token at scale (each hot token
+    contributes <= cap^2 = max(10^4, 25*C) pairs instead of C^2; the
+    census itself is one count()). Pass an int to pin the cap (the
+    oracle-checked benchmark queries pin 60; `build_benchmark_suite`
+    resolves "auto" ONCE from its known cluster bound rather than
+    paying a census per sub-dataset) or None to disable.
     Returns (cluster_id, sim_cluster, sim_jaccard, sim_rank),
     directed, a != b.
     """
@@ -108,7 +111,7 @@ def similar_clusters(
         n_clusters = profiles.count()
         if right_profiles is not None:
             n_clusters = max(n_clusters, right_profiles.count())
-        max_token_df = max(50, math.ceil(5 * math.sqrt(n_clusters)))
+        max_token_df = max(100, math.ceil(5 * math.sqrt(n_clusters)))
 
     def _inv(p: DataFrame) -> DataFrame:
         inv = p.select(
@@ -467,6 +470,13 @@ def build_benchmark_suite(
     num_pairs counts TOTAL pairs per cluster at the reference's 1:3
     pos:neg ratio (NUM_PAIRS=40 -> 10 pos + 30 neg, :224-229).
     """
+    if max_token_df == "auto":
+        # the suite's cluster count is bounded by construction
+        # (n_main + n_extra sampled clusters) — resolve the hot-token
+        # cap once here instead of running a census Spark job inside
+        # each of the 8+ build_benchmark_pairs calls below
+        bound = n_main_clusters + n_extra_clusters
+        max_token_df = max(100, math.ceil(5 * math.sqrt(bound)))
     csplit = split_clusters(
         records, cluster_col, n_main_clusters, n_extra_clusters,
         min_cluster_size, seed,

@@ -63,12 +63,15 @@ def image_feature_extractor(
     if deterministic_fake is not None:
         allow_fake = deterministic_fake
     side = max(int(round(dim ** 0.5)), 1)
-    use_pil = have_pil()
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _extract(content: pd.Series) -> pd.Series:
         from ember_spark.functions.codecs import block_mean_resize, decode_image_gray
 
+        # PIL availability must be probed WHERE the import happens — on
+        # the executor. A driver-side probe captured in the closure
+        # crashes tasks on clusters whose workers lack the lib.
+        use_pil = have_pil()
         if use_pil:
             import io
 

@@ -49,6 +49,10 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    if "_salt" in fat.columns or "_salt" in compact.columns:
+        # withColumn would silently overwrite a user's _salt column and
+        # drop() would then erase it from the output — refuse instead
+        raise ValueError("salted_join: input already has a '_salt' column")
     hash_cols = salt_cols or [c for c in fat.columns if c not in keys]
     if not hash_cols:
         hash_cols = keys  # degenerate: key-only fat side

@@ -135,6 +135,9 @@ class ERPipeline:
         self.spark = spark
         self.cfg = config or PipelineConfig()
         self.manifest = manifest
+        # table prefixes created by score(payload_mode='bucketed'),
+        # pending cleanup_bucketed_tables()
+        self._bucketed_prefixes: list[str] = []
 
     # ------------------------------------------------------------ stages
     def extract(self, pages: DataFrame) -> DataFrame:
@@ -291,9 +294,17 @@ class ERPipeline:
             payload_cols.append("emb")
         slim = prepared.select(id_col, *slim_cols)
         if self.cfg.payload_mode == "bucketed":
+            # record the generated prefix so the tables can be dropped
+            # once the scored output is materialized — otherwise every
+            # run leaks the full bucketed pair table into the warehouse
+            import uuid
+
+            prefix = f"ember_bucketed_{uuid.uuid4().hex[:12]}"
+            self._bucketed_prefixes.append(prefix)
             withpay = attach_pair_payload_bucketed(
                 pairs, slim, id_col, payload_cols,
                 buckets=self.cfg.payload_buckets,
+                table_prefix=prefix,
                 location=self.cfg.payload_table_location,
             )
         else:
@@ -432,6 +443,13 @@ class ERPipeline:
             prepared = prepared.persist()
         pairs = stage("block", lambda: self.block(prepared))
         scored = stage("score", lambda: self.score(pairs, prepared))
+        if self.manifest is not None:
+            # the manifest wrote 'score' to parquet, so the bucketed
+            # payload tables (if any) are no longer referenced — drop
+            # them here instead of leaking them into the warehouse.
+            # Without a manifest `scored` is still lazy over the tables;
+            # the caller owns cleanup_bucketed_tables() after consuming.
+            self.cleanup_bucketed_tables()
         if self.manifest is None:
             scored = scored.persist()
         entities = stage("entities", lambda: self.cluster(scored, prepared))
@@ -442,6 +460,16 @@ class ERPipeline:
             "scored": scored,
             "entities": entities,
         }
+
+    def cleanup_bucketed_tables(self) -> None:
+        """Drop the bucketed payload tables created by
+        score(payload_mode='bucketed'). Safe once the scored output is
+        materialized; run() calls this automatically when a manifest
+        checkpoints the score stage."""
+        from ember_spark.operators.blocking import drop_bucketed_tables
+
+        while self._bucketed_prefixes:
+            drop_bucketed_tables(self.spark, self._bucketed_prefixes.pop())
 
     #: pipeline stage order (fingerprints chain in this order)
     STAGES = ["extract", "prepare", "block", "score", "entities"]

@@ -206,3 +206,13 @@ def test_ivf_centroids_deterministic(spark, embs_moderate):
     assert np.array_equal(c1, c2)
     assert c1.shape == (8, 32)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+
+def test_ivf_centroids_empty_corpus_fails_cleanly(spark, embs_moderate):
+    import pytest as _pytest
+
+    from ember_spark.operators.ann import train_centroids
+
+    empty = embs_moderate.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        train_centroids(empty, n_centroids=8)

@@ -51,6 +51,29 @@ def test_ppm_header_with_comment():
     assert decode_image_gray(b).shape == (3, 2)
 
 
+def test_ppm_16bit_maxval_decodes_2byte_samples():
+    """maxval > 255 means 2 bytes/sample MSB-first (netpbm spec); a
+    1-byte read here would silently produce garbage pixels."""
+    vals = np.array([[0, 16384], [32768, 65535]], dtype=">u2")  # 2x2 gray
+    b = b"P5\n2 2\n65535\n" + vals.tobytes()
+    g = decode_image_gray(b)
+    assert np.allclose(g, vals.astype(np.float64) * (255.0 / 65535.0))
+
+
+def test_ppm_crlf_header_raster_not_shifted():
+    """CRLF-terminated header: the extra '\\n' must not be consumed as
+    the first pixel byte (disambiguated by raster size)."""
+    px = _pixels(3, 2)
+    crlf = b"P6\r\n2 3\r\n255\r\n" + px.tobytes()
+    assert np.allclose(decode_image_gray(crlf), px.astype(np.float64).mean(axis=2))
+    # a raster legitimately STARTING with 0x0A after a single-'\r'
+    # separator still decodes (size disambiguation keeps the byte)
+    px2 = px.copy()
+    px2[0, 0] = (0x0A, 5, 7)
+    single = b"P6\n2 3\n255\r" + px2.tobytes()
+    assert np.allclose(decode_image_gray(single), px2.astype(np.float64).mean(axis=2))
+
+
 def test_block_mean_resize_constant_regions():
     arr = np.zeros((8, 8))
     arr[:, 4:] = 100.0  # left half 0, right half 100

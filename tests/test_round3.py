@@ -178,6 +178,37 @@ def test_pipeline_bucketed_payload_mode(spark, tmp_path):
     ea = sorted(map(tuple, out_a["entities"].collect()))
     eb = sorted(map(tuple, out_b["entities"].collect()))
     assert ea == eb
+    # the bucketed payload tables must not leak into the warehouse: the
+    # prefix is recorded and cleanup drops both tables
+    assert buck._bucketed_prefixes, "score() should record the table prefix"
+    buck.cleanup_bucketed_tables()
+    assert not buck._bucketed_prefixes
+    leftover = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("ember_bucketed_")
+    ]
+    assert leftover == [], leftover
+
+    # with a manifest the score stage is checkpointed to parquet, so
+    # run() auto-drops the bucketed tables — and the outputs still read
+    from ember_spark.plans.manifest import StageManifest
+
+    mf = StageManifest(spark, str(tmp_path / "ckpt"))
+    buck_mf = ERPipeline(
+        spark,
+        PipelineConfig(
+            payload_mode="bucketed",
+            payload_buckets=4,
+            payload_table_location=str(tmp_path / "bkt2"),
+        ),
+        manifest=mf,
+    )
+    out_c = buck_mf.run(pages)
+    assert not buck_mf._bucketed_prefixes  # auto-cleaned after checkpoint
+    assert [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("ember_bucketed_")
+    ] == []
+    c = sorted(map(tuple, out_c["scored"].select("id_l", "id_r", "score", "prediction").collect()))
+    assert c == a
 
 
 # ------------------------------------------- similar_clusters auto guard
@@ -200,7 +231,7 @@ def test_similar_clusters_auto_guard_drops_ubiquitous_token(spark):
     )
     sim = similar_clusters(profiles, top_n=5).collect()  # max_token_df="auto"
     pairs = {(r["cluster_id"], r["sim_cluster"]) for r in sim}
-    # auto cap = max(50, ceil(5*sqrt(120))) = 55 < 120 -> 'common' dropped
+    # auto cap = max(100, ceil(5*sqrt(120))) = 100 < 120 -> 'common' dropped
     assert (0, 1) in pairs and (1, 0) in pairs
     assert all({a, b} == {0, 1} for a, b in pairs), pairs
 
@@ -209,8 +240,8 @@ def test_similar_clusters_auto_guard_drops_ubiquitous_token(spark):
     sim_all = similar_clusters(profiles, top_n=5, max_token_df=None)
     assert sim_all.select("cluster_id").distinct().count() == n
 
-    # small corpora (< 50 clusters): auto is inactive, results identical
-    # to the unguarded run
+    # small corpora (<= 100 clusters): auto is inactive, results
+    # identical to the unguarded run
     small = profiles.filter(F.col("cluster_id") < 20)
     auto_rows = sorted(map(tuple, similar_clusters(small, top_n=5).collect()))
     none_rows = sorted(

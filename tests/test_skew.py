@@ -78,6 +78,15 @@ def test_refuses_right_and_full(skewed):
             salted_join(fat, compact, on="k", how=how)
 
 
+def test_refuses_salt_column_collision(spark):
+    fat = spark.createDataFrame([Row(k=1, _salt=9)])
+    compact = spark.createDataFrame([Row(k=1, name="a")])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(fat, compact, on="k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(compact, fat, on="k")
+
+
 def test_key_only_fat_side(spark):
     fat = spark.createDataFrame([Row(k=1)] * 10 + [Row(k=2)] * 3)
     compact = spark.createDataFrame([Row(k=1, name="a"), Row(k=2, name="b")])
