@@ -8,6 +8,7 @@ The skew property is that a hot key's rows land on `salt` distinct
 """
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
 from ember_spark.operators.skew import salted_join
@@ -92,3 +93,29 @@ def test_key_only_fat_side(spark):
     compact = spark.createDataFrame([Row(k=1, name="a"), Row(k=2, name="b")])
     got = salted_join(fat, compact, on="k", salt=4)
     assert got.count() == 13
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    fat_rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=0, max_size=40
+    ),
+    dim_keys=st.sets(st.integers(0, 7), max_size=6),
+    salt=st.integers(1, 5),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_property_salting_is_a_physical_rewrite(spark, fat_rows, dim_keys, salt, how):
+    """For arbitrary inputs (dup keys, unmatched keys on both sides,
+    empty sides), salted_join == plain join as a multiset."""
+    fat = spark.createDataFrame(fat_rows or [(99, 0)], "k int, v int")
+    if not fat_rows:
+        fat = fat.filter("k < 0")  # truly empty, schema kept
+    compact = spark.createDataFrame(
+        [(k, f"d{k}") for k in sorted(dim_keys)] or [(99, "d")], "k int, name string"
+    )
+    if not dim_keys:
+        compact = compact.filter("k < 0")
+    got = salted_join(fat, compact, on="k", salt=salt, how=how)
+    want = fat.join(compact, "k", how)
+    cols = ["k", "v", "name"]
+    assert _counts(got, cols) == _counts(want, cols)
