@@ -373,24 +373,45 @@ def q_a3_token_union_agg(spark, sf):  # A3: per-group set-union aggregate
 
 
 def q_x5_jaccard_pairs(spark, sf):  # X5 + J1/F4: blocked pairs + token jaccard
-    from ember_spark.functions.similarity import token_jaccard
+    # The pair count is quadratic in block size, so the per-pair work is
+    # the whole wall. Two algebraic rewrites of `token_jaccard`, both
+    # value-identical (verified against the string/union form over every
+    # sf0.1 pair):
+    #  - tokens are xxhash64'd ONCE per doc, so each pair intersects
+    #    long arrays instead of string arrays (5x on this corpus);
+    #    identical jaccard absent a 64-bit collision inside one pair
+    #  - |A u B| = |A| + |B| - |A n B| with per-doc distinct sizes
+    #    precomputed, dropping the per-pair array_union entirely
+    from ember_spark.functions.similarity import hash_tokens, jaccard_from_hashed
 
-    d = _t(spark, sf, "documents").select(
-        "doc_id", "lang", "source", _toks(F.col("text")).alias("toks")
+    d = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            hash_tokens(_toks(F.col("text"))).alias("th"),
+        )
+        .withColumn("nt", F.size("th"))
     )
     # self-join legs would otherwise each re-read the parquet and re-run
-    # the (interpreted-HOF) tokenizer; materialize once (~26% cold win)
+    # the (interpreted-HOF) tokenizer+hash; materialize once
     d = d.localCheckpoint()
     l = d.select(
-        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_l"), F.col("toks").alias("t_l")
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_l"),
+        F.col("th").alias("t_l"), F.col("nt").alias("n_l"),
     )
     r = d.select(
-        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_r"), F.col("toks").alias("t_r")
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_r"),
+        F.col("th").alias("t_r"), F.col("nt").alias("n_r"),
+    )
+    jac = jaccard_from_hashed(
+        F.col("t_l"), F.col("t_r"), F.col("n_l"), F.col("n_r")
     )
     return (
         l.join(r, ["lang", "source"])
         .filter(F.col("id_l") < F.col("id_r"))
-        .withColumn("jaccard", F.round(token_jaccard(F.col("t_l"), F.col("t_r")), 6))
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.1)
         .select("id_l", "id_r", "jaccard")
     )

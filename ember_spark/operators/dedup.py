@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ember_spark.functions.hashing import make_hyperplane_bands_udf, simhash64_df
-from ember_spark.functions.similarity import cosine_sim, cosine_sim_fixed, token_jaccard
+from ember_spark.functions.similarity import (
+    cosine_sim,
+    cosine_sim_fixed,
+    hash_tokens,
+    jaccard_from_hashed,
+    token_jaccard,
+)
 from ember_spark.functions.text import normalize_text
 from ember_spark.functions.tokenize import char_ngrams, tokenize_ws
 from ember_spark.operators.blocking import DEFAULT_BLOCK_CAP, cap_hot_blocks, lsh_candidate_pairs
@@ -82,19 +88,35 @@ def ngram_jaccard_pairs(
     else:
         grams = char_ngrams(normalize_text(F.col(text_col)), n)
 
-    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    # grams are hashed ONCE per doc; each pair then intersects long
+    # arrays (not n-gram strings) and |A u B| is inclusion-exclusion
+    # over the precomputed distinct sizes — value-identical jaccard
+    base = df.select(
+        F.col(id_col).alias("id"), hash_tokens(grams).alias("grams")
+    ).withColumn("ng", F.size("grams"))
     if block_col:
         base = base.join(
             df.select(F.col(id_col).alias("id"), F.col(block_col).alias("bk")), "id"
         )
     else:
         base = base.withColumn("bk", F.lit(1))
-    left = base.select(F.col("bk"), F.col("id").alias("id_l"), F.col("grams").alias("g_l"))
-    right = base.select(F.col("bk"), F.col("id").alias("id_r"), F.col("grams").alias("g_r"))
+    left = base.select(
+        F.col("bk"), F.col("id").alias("id_l"),
+        F.col("grams").alias("g_l"), F.col("ng").alias("n_l"),
+    )
+    right = base.select(
+        F.col("bk"), F.col("id").alias("id_r"),
+        F.col("grams").alias("g_r"), F.col("ng").alias("n_r"),
+    )
     return (
         left.join(right, "bk")
         .filter(F.col("id_l") < F.col("id_r"))
-        .withColumn("jaccard", token_jaccard(F.col("g_l"), F.col("g_r")))
+        .withColumn(
+            "jaccard",
+            jaccard_from_hashed(
+                F.col("g_l"), F.col("g_r"), F.col("n_l"), F.col("n_r")
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
@@ -143,6 +165,12 @@ def minhash_lsh_dedup(
     # ContextCleaner when the returned DataFrame is dropped; eager
     # because concurrent join legs convoy on a lazy checkpoint's
     # block-store locks (see blocking._pairs_from_keys).
+    # verify keeps STRING token sets deliberately: LSH prunes candidates
+    # to ~O(dups) pairs, so per-pair jaccard cost is negligible and the
+    # regime favors minimal per-DOC prep — hashing every shingle first
+    # (hash_tokens) doubles the interpreted-HOF prep for nothing here
+    # (measured 2x prep at sf0.1). The hashed-verify rewrite belongs to
+    # the high pairs-per-doc regime (ngram_jaccard_pairs, x5).
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(verify_expr).alias("tokens"),
