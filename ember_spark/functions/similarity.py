@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column
@@ -144,6 +145,127 @@ def jaro_winkler_py(s1: str | None, s2: str | None, prefix_weight: float = 0.1) 
     return j
 
 
+def jaro_winkler_batch(
+    left, right, max_len: int | None = None, chunk: int = 2048
+) -> "np.ndarray":
+    """Batch-vectorized Jaro-Winkler, value-identical to
+    `jaro_winkler_py` (property-tested): the greedy match loop runs
+    over CHAR POSITIONS (<= max_len iterations of numpy ops across the
+    whole batch) instead of per pair — one Arrow batch costs ~L matrix
+    passes instead of N_pairs Python char loops. This is the scoring
+    stage's dominant kernel (measured ~84% of the per-pair feature
+    cost), so the batch form is what the pair-feature UDF calls.
+
+    `left`/`right`: sequences of str | None. None on either side -> 0.0
+    (same as the scalar form). Strings are truncated to `max_len`
+    BEFORE comparison, exactly like the callers truncate before
+    `jaro_winkler_py`.
+
+    `chunk` bounds the numpy working set (~chunk x max_len x ~20 bytes
+    of live temporaries): a full 10k Arrow batch streams multi-MB
+    temporaries through DRAM on every one of the ~L match iterations,
+    which inverts the single-core win once many workers share one
+    memory controller; ~2k rows keeps each worker's working set in
+    cache.
+    """
+    n = len(left)
+    if n > chunk:
+        out = np.empty(n, dtype=np.float64)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            out[s:e] = jaro_winkler_batch(left[s:e], right[s:e], max_len, chunk)
+        return out
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    SENT = np.uint32(0xFFFFFFFF)  # not a valid code point
+
+    def _mat(strs):
+        ls = np.empty(n, dtype=np.int64)
+        rows = []
+        for s in strs:
+            if s is None:
+                ls[len(rows)] = -1
+                rows.append(b"")
+                continue
+            if max_len is not None:
+                s = s[:max_len]
+            ls[len(rows)] = len(s)
+            rows.append(s.encode("utf-32-le"))
+        w = max(1, int(ls.max()) if ls.size else 1)
+        m = np.full((n, w), SENT, dtype=np.uint32)
+        for i, b in enumerate(rows):
+            if b:
+                m[i, : ls[i]] = np.frombuffer(b, dtype="<u4")
+        return m, ls
+
+    A, la = _mat(left)
+    B, lb = _mat(right)
+    w = max(A.shape[1], B.shape[1])
+    if A.shape[1] < w:
+        A = np.pad(A, ((0, 0), (0, w - A.shape[1])), constant_values=SENT)
+    if B.shape[1] < w:
+        B = np.pad(B, ((0, 0), (0, w - B.shape[1])), constant_values=SENT)
+
+    valid = (la >= 0) & (lb >= 0)
+    # equal strings (incl. both empty) -> 1.0, same as the scalar form
+    eq = valid & (la == lb) & (A == B).all(axis=1)
+    live = valid & ~eq & (la > 0) & (lb > 0)
+    if live.any():
+        mw = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+        col = np.arange(w)
+        m1 = np.zeros((n, w), dtype=bool)
+        m2 = np.zeros((n, w), dtype=bool)
+        for i in range(int(la[live].max())):
+            act = live & (i < la)
+            if not act.any():
+                break
+            lo = np.maximum(0, i - mw)[:, None]
+            hi = np.minimum(lb, i + mw + 1)[:, None]
+            cand = (
+                (B == A[:, i][:, None])
+                & ~m2
+                & (col >= lo)
+                & (col < hi)
+                & act[:, None]
+            )
+            has = cand.any(axis=1)
+            j = cand.argmax(axis=1)
+            rows_h = np.flatnonzero(has)
+            m2[rows_h, j[rows_h]] = True
+            m1[rows_h, i] = True
+        matches = m1.sum(axis=1)
+        hit = live & (matches > 0)
+        if hit.any():
+            # transpositions: scatter each side's matched chars by
+            # their match rank, then count positional char mismatches
+            maxm = int(matches.max())
+            rank1 = np.cumsum(m1, axis=1) - 1
+            rank2 = np.cumsum(m2, axis=1) - 1
+            C1 = np.zeros((n, maxm), dtype=np.uint32)
+            C2 = np.zeros((n, maxm), dtype=np.uint32)
+            r, c = np.nonzero(m1)
+            C1[r, rank1[r, c]] = A[r, c]
+            r, c = np.nonzero(m2)
+            C2[r, rank2[r, c]] = B[r, c]
+            t = ((C1 != C2) & (np.arange(maxm) < matches[:, None])).sum(axis=1) // 2
+            m = matches[hit].astype(np.float64)
+            out[hit] = (
+                m / la[hit] + m / lb[hit] + (m - t[hit]) / m
+            ) / 3.0
+    out[eq] = 1.0
+    # Winkler prefix bonus above 0.7, prefix capped at 4
+    boost = out > 0.7
+    if boost.any():
+        k = min(4, w)
+        pmask = (A[:, :k] == B[:, :k]) & (
+            np.arange(k) < np.minimum(la, lb)[:, None]
+        )
+        prefix = np.cumprod(pmask, axis=1).sum(axis=1)
+        out[boost] += prefix[boost] * 0.1 * (1.0 - out[boost])
+    return out
+
+
 def make_jaro_winkler_udf(max_len: int = 80):
     """Arrow-batched Jaro-Winkler over string pair columns.
 
@@ -158,12 +280,7 @@ def make_jaro_winkler_udf(max_len: int = 80):
     @F.pandas_udf(DoubleType())
     def _jw(left: pd.Series, right: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                jaro_winkler_py(
-                    a if a is None else a[:max_len], b if b is None else b[:max_len]
-                )
-                for a, b in zip(left.tolist(), right.tolist())
-            ],
+            jaro_winkler_batch(left.tolist(), right.tolist(), max_len=max_len),
             dtype="float64",
         )
 

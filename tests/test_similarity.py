@@ -1,6 +1,7 @@
 import math
 
 import pandas as pd
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from ember_spark.functions.similarity import (
@@ -87,3 +88,30 @@ def test_char_ngrams(spark):
     df = spark.createDataFrame(pd.DataFrame({"t": ["abcd", "ab", "a"]}), "t string")
     got = [r["k"] for r in df.select(char_ngrams(F.col("t"), 2).alias("k")).collect()]
     assert got == [["ab", "bc", "cd"], ["ab"], ["a"]]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet="ab cde日本語xyz", max_size=12)),
+            st.one_of(st.none(), st.text(alphabet="ab cde日本語xyz", max_size=12)),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_jaro_winkler_batch_matches_scalar(pairs):
+    """The batch-vectorized JW (the scoring hot path) must be
+    value-identical to the scalar oracle for arbitrary inputs —
+    None, empty, CJK, dup chars, and the truncation path."""
+    from ember_spark.functions.similarity import jaro_winkler_batch
+
+    left = [p[0] for p in pairs]
+    right = [p[1] for p in pairs]
+    got = jaro_winkler_batch(left, right, max_len=8)
+    for i, (a, b) in enumerate(pairs):
+        want = jaro_winkler_py(
+            a if a is None else a[:8], b if b is None else b[:8]
+        )
+        assert abs(got[i] - want) < 1e-12, (a, b, got[i], want)
