@@ -157,7 +157,18 @@ def main() -> None:
     print(json.dumps(out, indent=2))
 
     mode = os.environ.get("EMBER_SCALING_MODE", "threads")
+    apc_note = (
+        "\nJVM sizing: ActiveProcessorCount=N per level (EMBER_SCALING_APC)"
+        " — each level's JVM sees exactly its configured core allotment"
+        " and sizes GC/service pools for it, the way an executor"
+        " container does on a real cluster; without it the JVM at every"
+        " level sizes its pools for all host cores, billing the narrow"
+        " levels extra service CPU.\n"
+        if os.environ.get("EMBER_SCALING_APC")
+        else ""
+    )
     md = f"""# BENCH — scaling-efficiency evidence ({date.today().isoformat()})
+{apc_note}
 
 north_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors; sandbox evidence per the task brief: the same ER job at two
