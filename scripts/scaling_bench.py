@@ -70,12 +70,13 @@ def run_level(cores: int, entities: int, trials: int) -> dict:
             "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
             "spark.sql.shuffle.partitions=32",
         )
-        # opt-in: size the JVM like an N-core executor container
+        # DEFAULT: size the JVM like an N-core executor container
         # (ActiveProcessorCount=N) — on a real cluster every executor
         # JVM sees exactly its core allotment and sizes GC/service
-        # pools for it; the default here lets the JVM see all host
-        # cores at every level (the round-2/3 published protocol)
-        if os.environ.get("EMBER_SCALING_APC"):
+        # pools for it; without this every level's JVM sizes pools for
+        # all host cores, billing the narrow levels extra service CPU.
+        # EMBER_SCALING_APC=0 opts out (the pre-r3-final protocol).
+        if os.environ.get("EMBER_SCALING_APC", "1") != "0":
             env["EMBER_APC"] = str(cores)
         cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"]
         out = subprocess.run(
@@ -158,13 +159,13 @@ def main() -> None:
 
     mode = os.environ.get("EMBER_SCALING_MODE", "threads")
     apc_note = (
-        "\nJVM sizing: ActiveProcessorCount=N per level (EMBER_SCALING_APC)"
-        " — each level's JVM sees exactly its configured core allotment"
-        " and sizes GC/service pools for it, the way an executor"
-        " container does on a real cluster; without it the JVM at every"
-        " level sizes its pools for all host cores, billing the narrow"
-        " levels extra service CPU.\n"
-        if os.environ.get("EMBER_SCALING_APC")
+        "\nJVM sizing: ActiveProcessorCount=N per level (the default;"
+        " EMBER_SCALING_APC=0 opts out) — each level's JVM sees exactly"
+        " its configured core allotment and sizes GC/service pools for"
+        " it, the way an executor container does on a real cluster;"
+        " without it the JVM at every level sizes its pools for all"
+        " host cores, billing the narrow levels extra service CPU.\n"
+        if os.environ.get("EMBER_SCALING_APC", "1") != "0"
         else ""
     )
     md = f"""# BENCH — scaling-efficiency evidence ({date.today().isoformat()})
