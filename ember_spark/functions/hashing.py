@@ -239,9 +239,14 @@ def minhash_signature_py(tokens: list[str] | None, num_hashes: int = 64) -> list
     if not tokens:
         return [_MAX_LONG] * num_hashes
     a, b = _minhash_params(num_hashes)
-    hs = np.array([_token_u64(t) for t in set(tokens)], dtype=np.uint64)
+    # no set(): duplicate tokens cannot change a min, and building a
+    # PyObject set per doc costs more than the duplicate matmul rows
+    # it would save; .tolist() converts at C speed
+    hs = np.fromiter(
+        (_token_u64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
     mixed = hs[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
-    return [int(x) for x in mixed.min(axis=0).astype(np.int64)]
+    return mixed.min(axis=0).astype(np.int64).tolist()
 
 
 def make_minhash_sig_udf(num_hashes: int = 64):
