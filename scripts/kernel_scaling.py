@@ -27,7 +27,7 @@ import pandas as pd
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from ember_spark.functions.hashing import emb_from_th  # noqa: E402
-from ember_spark.functions.similarity import jaro_winkler_py  # noqa: E402
+from ember_spark.functions.similarity import jaro_winkler_batch  # noqa: E402
 
 N_BATCHES = 32
 BATCH = 10_000
@@ -41,6 +41,8 @@ def _make_batch():
 
 
 TEXT, TH = _make_batch()
+TEXT_L = TEXT.tolist()
+TEXT_R = TEXT_L[1:] + TEXT_L[:1]
 
 
 def work(n_batches: int) -> float:
@@ -49,7 +51,10 @@ def work(n_batches: int) -> float:
         n = BATCH
         jac = np.zeros(n)
         cont = np.zeros(n)
-        jw = np.zeros(n)
+        # mirrors make_pair_text_features_udf exactly: JW is the
+        # chunked batch-vectorized kernel (r3-final), jac/cont/cos the
+        # per-pair loop
+        jw = jaro_winkler_batch(TEXT_L, TEXT_R, max_len=80)
         for i in range(n):
             a = TH.iloc[i]
             b = TH.iloc[(i + 1) % n]
@@ -57,9 +62,8 @@ def work(n_batches: int) -> float:
             union = a.size + b.size - inter
             jac[i] = inter / union if union else 0.0
             cont[i] = inter / min(a.size, b.size)
-            jw[i] = jaro_winkler_py(TEXT.iloc[i], TEXT.iloc[(i + 1) % n])
-            # round-3 kernel addition: f_cos recomputed from th
-            # (emb_from_th) instead of shipping embeddings
+            # f_cos recomputed from th (emb_from_th) instead of
+            # shipping embeddings
             float(
                 np.dot(
                     emb_from_th(a, 64).astype(np.float64),
