@@ -384,8 +384,17 @@ def q_x5_jaccard_pairs(spark, sf):  # X5 + J1/F4: blocked pairs + token jaccard
     #    precomputed, dropping the per-pair array_union entirely
     from ember_spark.functions.similarity import hash_tokens, jaccard_from_hashed
 
+    # repartition BEFORE the tokenize+hash projection: the test parquet
+    # is one small file -> one scan partition, which would serialize the
+    # per-doc (interpreted-HOF) work onto a single core. At production
+    # scale the scan has file-granularity parallelism, but an operator
+    # whose compute >> scan must not inherit the input's file layout —
+    # the shuffle moves only the raw rows (cheap), the expensive
+    # projection then runs on every core. (Driver bench r2/r3 recorded
+    # 13.9s here from exactly this: 9s of single-core cold-JIT HOF.)
     d = (
         _t(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             "lang",
@@ -682,15 +691,22 @@ def q_simhash_dedup(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
-    """Approximate top-k (banded buckets + multi-probe): rows-only by
-    design — recall < 1 is the contract; measured vs brute force in
+    """Approximate top-k (banded buckets + multi-probe) — VALUE-checked
+    since round 4: the hyperplanes are deterministic (blake2b,
+    hashing.py:320), so the DuckDB oracle embeds the same plane
+    coefficients as literals, rebuilds every band key + the probe ball,
+    and checks the exact top-k within the identical candidate union.
+    Cross-engine sign-bit safety: min |projection| over this corpus is
+    3.7e-5 vs ~6e-16 summation-order error (11 orders of margin).
+    Recall (<1 by contract) vs brute force stays separately measured in
     scripts/ann_recall.py (table in BENCH.md)."""
     from ember_spark.operators.ann import lsh_topk
 
     emb = _t(spark, sf, "embeddings")
-    return lsh_topk(
+    res = lsh_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=3, bands=8, rows=3, probe_bits=1
     )
+    return res.select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
 
 
 def q_er_pipeline_entities(spark, sf):
@@ -779,8 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_pairs": q_benchmark_pairs,
         "benchmark_rl_pairs": q_benchmark_rl_pairs,
         "benchmark_imbalanced": q_benchmark_imbalanced,
-        # LSH / clustering / pipeline (all oracle-checked except
-        # ann_lsh_topk — recall < 1 is the approximate contract)
+        # LSH / clustering / pipeline (ALL oracle-checked, incl.
+        # ann_lsh_topk since round 4 — see its docstring)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1517,4 +1533,69 @@ def oracle_sql() -> dict[str, str]:
     # list probed), so it shares the ann_topk oracle verbatim — see
     # q_ann_ivf_topk's docstring.
     sqls["ann_ivf_topk"] = sqls["ann_topk"]
+    sqls["ann_lsh_topk"] = _ann_lsh_oracle_sql(bands=8, rows=3, probe_bits=1, k=3)
     return sqls
+
+
+def _ann_lsh_oracle_sql(bands: int, rows: int, probe_bits: int, k: int) -> str:
+    """DuckDB oracle for q_ann_lsh_topk: rebuilds the banded hyperplane
+    bucket keys from the SAME deterministic blake2b plane coefficients
+    (embedded as double literals), applies the identical XOR probe
+    ball, and exact-cosine re-ranks within the identical candidate
+    union — the simhash md5-codegen move applied to hyperplane LSH.
+
+    Bit-exactness of the sign decisions does not require identical
+    summation order: the minimum |projection| over the test corpora is
+    ~3.7e-5 while numpy-matmul vs DuckDB list_dot_product disagree by
+    <1e-15, so every (vector, plane) sign bit — hence every band key,
+    candidate set, and rank — is engine-independent."""
+    from itertools import combinations
+
+    from ember_spark.functions.hashing import plane_matrix
+
+    m = plane_matrix(bands * rows, 64)  # (dim, planes), same as Spark UDF
+
+    def plane_lit(p: int) -> str:
+        return "[" + ",".join(repr(v) for v in m[:, p]) + "]::DOUBLE[]"
+
+    key_exprs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {plane_lit(b * rows + j)}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(rows)
+        )
+        key_exprs.append(f"({bits}) AS k{b}")
+    band_union = "\n              UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM kc" for b in range(bands)
+    )
+    masks = [0] + [
+        sum(1 << i for i in combo)
+        for r in range(1, min(probe_bits, rows) + 1)
+        for combo in combinations(range(rows), r)
+    ]
+    flips = ",".join(f"({f})" for f in masks)
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        kc AS (SELECT vec_id, {", ".join(key_exprs)} FROM c),
+        cb AS ({band_union}),
+        qb AS (SELECT vec_id AS query_id, band, xor(key, fl.f) AS key
+               FROM cb, (VALUES {flips}) fl(f) WHERE vec_id < 20),
+        cand AS (SELECT DISTINCT q.query_id, cc.vec_id AS neighbor_id
+                 FROM qb q JOIN cb cc ON q.band = cc.band AND q.key = cc.key
+                 WHERE q.query_id <> cc.vec_id),
+        s AS (SELECT cand.query_id, cand.neighbor_id,
+                     list_dot_product(qe.e, ce.e)
+                       / (sqrt(list_dot_product(qe.e, qe.e))
+                          * sqrt(list_dot_product(ce.e, ce.e))) AS cos_raw
+              FROM cand
+              JOIN c qe ON qe.vec_id = cand.query_id
+              JOIN c ce ON ce.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id ASC)
+                       AS rank
+              FROM s)
+        SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
+        FROM r WHERE rank <= {k}
+    """

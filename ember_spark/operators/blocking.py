@@ -26,6 +26,25 @@ from ember_spark.functions.hashing import lsh_band_keys, make_minhash_sig_udf
 DEFAULT_BLOCK_CAP = 2000
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan currently has fewer
+    partitions than the session's parallelism.
+
+    A CPU-heavy projection (tokenize/shingle/MinHash/Arrow UDF)
+    inherits the scan's partitioning; a small single-file input then
+    serializes the whole stage onto one core (driver bench r2/r3: 9s+
+    of one-core interpreted-HOF work behind a 594KB parquet). At
+    production scale the scan already has file-granularity partitions
+    >> cores, so this is a no-op there — the repartition only fires on
+    narrow inputs, where shuffling the raw rows costs microseconds
+    against the compute it parallelizes."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def block_census(keys: DataFrame, key_col: str = "block_key") -> DataFrame:
     """Block-size census (op A1): rows per block key."""
     return keys.groupBy(key_col).agg(F.count(F.lit(1)).alias("block_size"))

@@ -24,7 +24,12 @@ from ember_spark.functions.similarity import (
 )
 from ember_spark.functions.text import normalize_text
 from ember_spark.functions.tokenize import char_ngrams, tokenize_ws
-from ember_spark.operators.blocking import DEFAULT_BLOCK_CAP, cap_hot_blocks, lsh_candidate_pairs
+from ember_spark.operators.blocking import (
+    DEFAULT_BLOCK_CAP,
+    cap_hot_blocks,
+    ensure_parallelism,
+    lsh_candidate_pairs,
+)
 
 
 # ------------------------------------------------------------------ exact
@@ -90,8 +95,10 @@ def ngram_jaccard_pairs(
 
     # grams are hashed ONCE per doc; each pair then intersects long
     # arrays (not n-gram strings) and |A u B| is inclusion-exclusion
-    # over the precomputed distinct sizes — value-identical jaccard
-    base = df.select(
+    # over the precomputed distinct sizes — value-identical jaccard.
+    # ensure_parallelism: the shingle+hash projection must not inherit
+    # a narrow single-file scan's partitioning (see blocking.py).
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), hash_tokens(grams).alias("grams")
     ).withColumn("ng", F.size("grams"))
     if block_col:
@@ -171,7 +178,11 @@ def minhash_lsh_dedup(
     # (hash_tokens) doubles the interpreted-HOF prep for nothing here
     # (measured 2x prep at sf0.1). The hashed-verify rewrite belongs to
     # the high pairs-per-doc regime (ngram_jaccard_pairs, x5).
-    toks = df.select(
+    # ensure_parallelism BEFORE the projection: tokenize+shingle (and
+    # the MinHash signature UDF downstream, which keeps this
+    # partitioning through the checkpoint) otherwise serialize onto the
+    # scan's partition count — one core behind a small single-file input.
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(verify_expr).alias("tokens"),
         sig_expr.alias("sig_tokens"),
@@ -206,7 +217,7 @@ def simhash_dedup(
     chunks = max_hamming + 1
     bits = 64 // chunks
     sh = simhash64_df(
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("id"), tokenize_ws(F.col(text_col)).alias("toks")
         ),
         "id",
@@ -283,7 +294,9 @@ def embedding_neardup(
     if dim is None:
         dim = int(emb_df.select(F.size(F.col(emb_col)).alias("d")).first()["d"])
     keys_udf = make_hyperplane_bands_udf(dim, bands, rows)
-    base = emb_df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+    base = ensure_parallelism(emb_df).select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("e")
+    )
     # (id, key) only through the explode + self-join: the embedding
     # payload re-attaches per verified candidate, keeping the banded
     # shuffle narrow. localCheckpoint so the Arrow matmul runs once,

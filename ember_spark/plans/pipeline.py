@@ -27,6 +27,7 @@ from ember_spark.operators.blocking import (
     attach_pair_payload,
     attach_pair_payload_bucketed,
     candidate_pairs,
+    ensure_parallelism,
     salted_repartition,
 )
 from ember_spark.operators.clustering import connected_components
@@ -174,7 +175,11 @@ class ERPipeline:
         only.
         """
         prep = make_prepare_udf(self.cfg.embedding_dim, self.cfg.num_hashes)
-        base = docs.select(
+        # ensure_parallelism: the tokenize + one-pass prepare UDF are the
+        # pipeline's dominant per-doc cost and must not inherit a narrow
+        # single-file scan's partitioning (no-op when the source already
+        # has >= parallelism partitions — the production case).
+        base = ensure_parallelism(docs).select(
             "url",
             "text",
             "lang",
