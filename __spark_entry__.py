@@ -1181,8 +1181,12 @@ def oracle_sql() -> dict[str, str]:
             pr AS (
               SELECT a.url AS ul, b.url AS ur
               FROM d a JOIN d b ON a.url < b.url
+              -- empty-union jaccard is 0.0, mirroring every Spark
+              -- implementation (similarity.py:27, scoring.py:179): two
+              -- empty-token docs DO become blocking candidates (identical
+              -- MinHash sentinel sigs) but must not oracle-match
               WHERE CASE WHEN len(list_distinct(list_concat(a.t, b.t))) = 0
-                         THEN 1.0
+                         THEN 0.0
                          ELSE len(list_intersect(a.t, b.t))::DOUBLE
                               / len(list_distinct(list_concat(a.t, b.t)))
                     END > 0.8565),

@@ -6,10 +6,12 @@ library at all, so for them the decode step is REAL, not stubbed:
 
 - PPM/PGM (P5/P6 binary): header + raw samples — decoded by hand.
 - BMP (uncompressed 24/32-bit bottom-up): fixed header layout.
+- PNG (8-bit, non-interlaced, gray/RGB/GA/RGBA): stdlib zlib + the five
+  per-row filters (None/Sub/Up/Average/Paeth) unfiltered by hand.
 - WAV (PCM16): stdlib `wave`.
-- Header sniffing (width/height/format) additionally covers PNG (IHDR)
-  and JPEG (SOF0/1/2 scan) and GIF — metadata extraction does not need
-  pixel decoding.
+- Header sniffing (width/height/format) additionally covers JPEG
+  (SOF0/1/2 scan) and GIF — metadata extraction does not need pixel
+  decoding.
 
 Everything returns numpy so the Arrow-batched UDFs in
 `operators/multimodal.py` stay vectorized per batch. Formats beyond
@@ -22,6 +24,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -64,15 +67,28 @@ def _jpeg_size(b: bytes) -> tuple[int | None, int | None, str | None]:
         if b[i] != 0xFF:
             i += 1
             continue
-        marker = b[i + 1]
+        # JPEG permits any number of 0xFF fill bytes before a marker:
+        # skip them, or the marker byte itself reads as 0xFF and the
+        # "segment length" is garbage -> bogus width/height returned as
+        # valid metadata
+        j = i + 1
+        while j < n and b[j] == 0xFF:
+            j += 1
+        if j + 8 >= n:
+            break
+        marker = b[j]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            i += 2
+            i = j + 1  # standalone markers carry no length field
             continue
-        seglen = struct.unpack_from(">H", b, i + 2)[0]
+        if marker in (0xD9, 0xDA):
+            # EOI / start-of-scan: entropy-coded data follows, no SOF
+            # header can legally appear after — stop walking
+            break
+        seglen = struct.unpack_from(">H", b, j + 1)[0]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            h, w = struct.unpack_from(">HH", b, i + 5)
+            h, w = struct.unpack_from(">HH", b, j + 4)
             return (w, h, "jpeg")
-        i += 2 + seglen
+        i = j + 1 + seglen
     return (None, None, "jpeg")
 
 
@@ -113,10 +129,76 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int, int]:
     return (w, h, maxval, i, channels)
 
 
+def _png_gray(b: bytes) -> np.ndarray:
+    """Stdlib PNG decode to float64 grayscale: zlib-inflate the IDAT
+    stream, undo the five per-row filters, average color channels.
+    Covers 8-bit non-interlaced gray / RGB / gray+alpha / RGBA (color
+    types 0/2/4/6) — 16-bit, palette, and Adam7-interlaced PNGs raise
+    NotImplementedError (the remaining declared boundary)."""
+    w, h, depth, color_type = struct.unpack_from(">IIBB", b, 16)
+    interlace = b[28]
+    if depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"png depth={depth} color_type={color_type} interlace={interlace}: "
+            "stdlib path covers 8-bit non-interlaced gray/RGB/GA/RGBA"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    # chunk walk: length(4) type(4) data payload crc(4)
+    idat = []
+    i = 8
+    while i + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, i)
+        ctype = b[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat.append(b[i + 8 : i + 8 + length])
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    data = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(data) < (stride + 1) * h:
+        raise ValueError("png: truncated IDAT stream")
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        flt = data[pos]
+        rec = np.frombuffer(data, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += stride + 1
+        if flt == 1:  # Sub: + left (same channel)
+            for i in range(ch, stride):
+                rec[i] = (rec[i] + rec[i - ch]) & 0xFF
+        elif flt == 2:  # Up (vectorized: no intra-row dependency)
+            rec = (rec + prev) & 0xFF
+        elif flt == 3:  # Average
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (rec[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif flt == 4:  # Paeth
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        elif flt != 0:
+            raise ValueError(f"png: unknown row filter {flt}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch).astype(np.float64)
+    if color_type == 0:
+        return px[:, :, 0]
+    if color_type == 4:  # gray + alpha: gray channel only
+        return px[:, :, 0]
+    return px[:, :, :3].mean(axis=2)  # RGB(A): average color channels
+
+
 def decode_image_gray(b: bytes) -> np.ndarray:
-    """Decode a PPM/PGM/BMP payload to a float64 grayscale (h, w) array
-    in [0, 255]. Raises NotImplementedError for formats that need a
-    codec library (jpeg/png/...) — the declared stub boundary."""
+    """Decode a PPM/PGM/BMP/PNG payload to a float64 grayscale (h, w)
+    array in [0, 255]. Raises NotImplementedError for formats that need
+    a codec library (jpeg/...) — the declared stub boundary."""
     if b[:2] in (b"P5", b"P6"):
         w, h, maxval, off, ch = _ppm_header(b)
         # maxval > 255 means 2 bytes per sample, most significant first
@@ -140,9 +222,11 @@ def decode_image_gray(b: bytes) -> np.ndarray:
         px = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
         gray = px[:, :, :3].astype(np.float64).mean(axis=2)  # BGR -> gray
         return gray[::-1] if flip else gray
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_gray(b)
     raise NotImplementedError(
         "image decode for this format requires codec libs not present "
-        "in this container (stdlib path covers ppm/pgm/bmp)"
+        "in this container (stdlib path covers ppm/pgm/bmp/png)"
     )
 
 
@@ -227,6 +311,58 @@ def make_bmp(pixels: np.ndarray) -> bytes:
         "<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40
     ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
     return bytes(header) + bytes(raster)
+
+
+def make_png(pixels: np.ndarray, filters: str = "mixed") -> bytes:
+    """Serialize an (h, w) uint8 gray or (h, w, 3) uint8 RGB array as an
+    8-bit non-interlaced PNG. filters='mixed' cycles the row filter
+    through 0..4 (None/Sub/Up/Average/Paeth) so a decoder round-trip
+    exercises every unfilter path; filters='none' emits filter 0 only."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    ch = 1 if gray else 3
+    px = pixels.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        rec = px[y]
+        f = (y % 5) if filters == "mixed" else 0
+        enc = rec.copy()
+        if f == 1:
+            enc[ch:] = (rec[ch:] - rec[:-ch]) & 0xFF
+        elif f == 2:
+            enc = (rec - prev) & 0xFF
+        elif f == 3:
+            for i in range(w * ch):
+                left = int(rec[i - ch]) if i >= ch else 0
+                enc[i] = (rec[i] - ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(w * ch):
+                a = int(rec[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc[i] = (rec[i] - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = rec
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

@@ -46,16 +46,27 @@ def have_pil() -> bool:
 
 
 def image_feature_extractor(
-    dim: int = 32, allow_fake: bool = False, deterministic_fake: bool | None = None
+    dim: int = 32,
+    allow_fake: bool = False,
+    deterministic_fake: bool | None = None,
+    use_pil: bool = False,
 ):
     """binary -> float feature vector, as an Arrow-batched pandas UDF.
 
-    With PIL importable: decode, resize to a sqrt(dim) x sqrt(dim)
-    grayscale grid, mean-center and L2-normalize — a real (if simple)
-    perceptual embedding, deterministic across runs. Without PIL:
-    NotImplementedError unless `allow_fake`, which substitutes a
-    blake2b-seeded fake that is a pure function of the bytes, so tests
-    exercise batching, schema and determinism.
+    Formats the stdlib decoder covers (ppm/pgm/bmp/png) are decoded,
+    resized to a sqrt(dim) x sqrt(dim) grayscale grid, mean-centered and
+    L2-normalized — a real (if simple) perceptual embedding,
+    deterministic across runs. Other formats: NotImplementedError unless
+    `allow_fake`, which substitutes a blake2b-seeded fake that is a pure
+    function of the bytes, so tests exercise batching, schema and
+    determinism.
+
+    `use_pil=True` is an EXPLICIT opt-in (like zh_tokenizer='jieba',
+    tokenize.py): jpeg etc. decode via PIL on the executors, and an
+    executor without PIL fails the stage loudly (ImportError) instead of
+    silently taking the fake/stub path — per-row behavior must never
+    vary with the worker environment (import-detection would decode a
+    payload on workers that have PIL and raise on workers that don't).
 
     `deterministic_fake` is the old name for `allow_fake` (kept for
     compatibility).
@@ -68,11 +79,10 @@ def image_feature_extractor(
     def _extract(content: pd.Series) -> pd.Series:
         from ember_spark.functions.codecs import block_mean_resize, decode_image_gray
 
-        # PIL availability must be probed WHERE the import happens — on
-        # the executor. A driver-side probe captured in the closure
-        # crashes tasks on clusters whose workers lack the lib.
-        use_pil = have_pil()
         if use_pil:
+            # opt-in captured in the closure: a worker lacking PIL
+            # raises here and fails the stage — uniform behavior, never
+            # a per-worker branch
             import io
 
             from PIL import Image
@@ -217,13 +227,17 @@ def extract_image_features(
     dim: int = 32,
     deterministic_fake: bool = False,
     partitions: int | None = None,
+    use_pil: bool = False,
 ) -> DataFrame:
     """Append image feature vectors. Binary payloads are heavy: an
     explicit repartition ahead of the UDF keeps Arrow batches balanced
-    (no hot partition carrying all the bytes)."""
+    (no hot partition carrying all the bytes). `use_pil` is the explicit
+    PIL opt-in (see image_feature_extractor)."""
     if partitions:
         df = df.repartition(partitions)
-    fx = image_feature_extractor(dim=dim, allow_fake=deterministic_fake)
+    fx = image_feature_extractor(
+        dim=dim, allow_fake=deterministic_fake, use_pil=use_pil
+    )
     return df.withColumn(out_col, fx(F.col(content_col)))
 
 

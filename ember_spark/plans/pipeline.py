@@ -294,7 +294,12 @@ class ERPipeline:
             F.col(tok_col),
         ]
         payload_cols = ["text", "text_len", tok_col]
-        if not use_th:
+        # the arrow scorer never reads emb_l/emb_r (f_cos is recomputed
+        # inside the UDF from raw tokens/th), so emb ships ONLY for the
+        # JVM feature modes — even in the arrow-without-th corner, where
+        # appending it would push dead dim*4 bytes per side through the
+        # widest shuffle of the job
+        if self.cfg.feature_mode != "arrow":
             slim_cols.append(F.col("emb"))
             payload_cols.append("emb")
         slim = prepared.select(id_col, *slim_cols)

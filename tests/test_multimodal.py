@@ -17,6 +17,7 @@ from ember_spark.functions.codecs import (
     decode_image_gray,
     decode_wav,
     make_bmp,
+    make_png,
     make_ppm,
     make_wav,
     sniff_image_meta,
@@ -101,6 +102,57 @@ def test_sniff_meta_all_formats():
     assert sniff_image_meta(jpeg) == (640, 480, "jpeg")
     assert sniff_image_meta(b"not an image at all") == (None, None, None)
     assert sniff_image_meta(None) == (None, None, None)
+
+
+def test_png_decode_roundtrip_all_filters():
+    """8-bit non-interlaced PNG decodes in pure stdlib — the encoder
+    cycles the row filter through 0..4 so every unfilter path
+    (None/Sub/Up/Average/Paeth) is exercised, gray and RGB."""
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(9, 13), dtype=np.uint8)
+    g = decode_image_gray(make_png(gray, filters="mixed"))
+    assert g.shape == (9, 13)
+    assert np.array_equal(g, gray.astype(np.float64))
+    rgb = _pixels(7, 5, seed=3)
+    g2 = decode_image_gray(make_png(rgb, filters="mixed"))
+    assert np.allclose(g2, rgb.astype(np.float64).mean(axis=2))
+    # filter choice must not change decoded pixels
+    assert np.array_equal(
+        decode_image_gray(make_png(rgb, filters="none")), g2
+    )
+
+
+def test_png_unsupported_variants_raise_declared_stub():
+    px = _pixels(4, 4)
+    b = bytearray(make_png(px))
+    b[24] = 16  # bit depth 16
+    with pytest.raises(NotImplementedError):
+        decode_image_gray(bytes(b))
+    b = bytearray(make_png(px))
+    b[28] = 1  # Adam7 interlace
+    with pytest.raises(NotImplementedError):
+        decode_image_gray(bytes(b))
+
+
+def test_jpeg_sniff_skips_fill_bytes_and_stops_at_sos():
+    """JPEG permits 0xFF fill bytes before a marker; a padded stream
+    must still find SOF0, and a stream whose scan starts before any SOF
+    must return None dims rather than garbage."""
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 120, 300) + b"\x03" + b"\x00" * 9
+    )
+    assert sniff_image_meta(padded) == (300, 120, "jpeg")
+    # SOS before any SOF: stop walking, no bogus dims from entropy data
+    truncated = (
+        b"\xff\xd8"
+        + b"\xff\xda" + struct.pack(">H", 8) + b"\x00" * 6
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 9, 9) + b"\x03" + b"\x00" * 9
+    )
+    assert sniff_image_meta(truncated) == (None, None, "jpeg")
 
 
 def test_wav_roundtrip_and_features():
