@@ -197,6 +197,29 @@ def candidate_pairs(
     return out.dropDuplicates(["id_l", "id_r"])
 
 
+def hot_pair_key_fracs(pairs: DataFrame) -> dict[str, float]:
+    """One-job census of the pair table's hottest id on EACH side:
+    {'id_l': frac, 'id_r': frac} where frac is the share of pairs the
+    single hottest key holds. Both groupBys are map-side combinable;
+    callers should census a persisted pair table (the pipeline's is)."""
+    rows = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("id_l").alias("s"), F.col("id_l").alias("k")),
+                    F.struct(F.lit("id_r").alias("s"), F.col("id_r").alias("k")),
+                )
+            ).alias("x")
+        )
+        .groupBy("x.s", "x.k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("s")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("n"))
+        .collect()
+    )
+    return {r["s"]: (r["mx"] / r["n"] if r["n"] else 0.0) for r in rows}
+
+
 def attach_pair_payload(
     pairs: DataFrame,
     df: DataFrame,
@@ -204,6 +227,8 @@ def attach_pair_payload(
     payload_cols: list[str],
     broadcast_payload: bool | None = None,
     broadcast_max_rows: int = 2_000_000,
+    salt: int = 0,
+    salt_trigger_frac: float = 0.0,
 ) -> DataFrame:
     """Join each side's payload columns onto canonical pairs with
     _l/_r suffixes.
@@ -216,6 +241,18 @@ def attach_pair_payload(
     the joins fall back to shuffle joins (at 10^12-doc scale the right
     answer is bucketing the corpus and pair table on the id — see
     README scale notes).
+
+    Skew: with `salt > 1` the shuffle-join path spreads hot ids via
+    `skew.salted_join` (fat pair table x compact payload — exactly its
+    cost model: every pair row must survive, so `cap_hot_blocks` does
+    not apply, and AQE cannot split a shuffled-hash join's single
+    hottest task). With `salt_trigger_frac > 0` a one-job census
+    (`hot_pair_key_fracs`) first measures each side's hottest id and
+    salts ONLY sides whose hottest key exceeds that fraction of pairs
+    — uniform keys keep the plain join and pay nothing beyond the
+    census; `salt_trigger_frac == 0` salts both sides unconditionally.
+    The salt is derived from the OTHER side's id, so a hot id_l's pairs
+    spread by their id_r (deterministic, resumable).
     """
     if broadcast_payload is None:
         try:
@@ -225,8 +262,21 @@ def attach_pair_payload(
     left = df.select(F.col(id_col).alias("id_l"), *[F.col(c).alias(f"{c}_l") for c in payload_cols])
     right = df.select(F.col(id_col).alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in payload_cols])
     if broadcast_payload:
-        left, right = F.broadcast(left), F.broadcast(right)
-    return pairs.join(left, "id_l").join(right, "id_r")
+        # a broadcast join has no reducer to skew — salting is moot
+        return pairs.join(F.broadcast(left), "id_l").join(F.broadcast(right), "id_r")
+    salt_sides = {"id_l": salt > 1, "id_r": salt > 1}
+    if salt > 1 and salt_trigger_frac > 0:
+        fracs = hot_pair_key_fracs(pairs)
+        salt_sides = {k: fracs[k] >= salt_trigger_frac for k in fracs}
+    from ember_spark.operators.skew import salted_join
+
+    if salt_sides["id_l"]:
+        mid = salted_join(pairs, left, "id_l", salt=salt, salt_cols=["id_r"])
+    else:
+        mid = pairs.join(left, "id_l")
+    if salt_sides["id_r"]:
+        return salted_join(mid, right, "id_r", salt=salt, salt_cols=["id_l"])
+    return mid.join(right, "id_r")
 
 
 def attach_pair_payload_bucketed(

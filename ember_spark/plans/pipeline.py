@@ -97,6 +97,19 @@ class PipelineConfig:
     payload_mode: str = "shuffle"
     payload_buckets: int = 64
     payload_table_location: str | None = None
+    # hot-KEY spreading of the payload-attach joins (skew.salted_join;
+    # perf-only — the joined rows are identical, so like payload_mode it
+    # is excluded from the stage fingerprints). payload_salt > 1 arms
+    # it; payload_salt_trigger_frac > 0 adds a one-job census on the
+    # persisted pair table and salts only sides whose single hottest id
+    # exceeds that fraction of pairs (a hub page — one doc in 30% of
+    # pairs — otherwise lands on ONE reducer of the fat-side shuffle
+    # join, a straggler neither cap_hot_blocks — which must not drop
+    # scored pairs — nor AQE — which cannot split a shuffled-hash
+    # join's hot task — protects against). Uniform corpora keep the
+    # plain join and pay only the census.
+    payload_salt: int = 0
+    payload_salt_trigger_frac: float = 0.25
     matcher: LogisticMatcher = field(
         default_factory=lambda: LogisticMatcher(DEFAULT_WEIGHTS, DEFAULT_BIAS)
     )
@@ -321,6 +334,8 @@ class ERPipeline:
             withpay = attach_pair_payload(
                 pairs, slim, id_col, payload_cols,
                 broadcast_payload=self.cfg.broadcast_payload,
+                salt=self.cfg.payload_salt,
+                salt_trigger_frac=self.cfg.payload_salt_trigger_frac,
             )
         # optional skew-key salting: spread any hot key's pairs before
         # the Python-bearing feature stage (see PipelineConfig.salt)

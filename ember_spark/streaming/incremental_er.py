@@ -30,6 +30,21 @@ State is bounded by the watermark (one group per page per window); the
 static banded corpus is the only large operand and it is read-only.
 Periodically fold the accumulated new pages into the corpus with the
 batch pipeline and restart the stream — the standard lambda handoff.
+
+NEW-vs-NEW (round 4): `streaming_entity_assign` alone leaves two novel
+duplicates arriving in the same stream both `entity_id=NULL` — they are
+never linked until the next batch re-resolve. `resolve_micro_batch` +
+`streaming_entity_resolve` close that gap: per micro-batch (foreachBatch
+— the one place the incremental plan genuinely can't express this,
+because it needs a stream-stream self-join plus an iterative CC), pages
+that match no corpus entity are LSH-self-joined within the batch,
+scored with the SAME feature UDF + matcher, and connected components
+over the matching pairs mints a fresh entity id (min url in the
+component — the batch pipeline's exact id convention). Remaining
+documented approximation: a new page linked to another new page only
+THROUGH a corpus-matched page still resolves at the next compaction
+(incremental transitive closure through the static side needs the
+batch re-resolve by design).
 """
 
 from __future__ import annotations
@@ -169,3 +184,160 @@ def streaming_entity_assign(
         ),
         "best_score",
     )
+
+def resolve_micro_batch(
+    pages: DataFrame,
+    banded_corpus: DataFrame,
+    matcher: LogisticMatcher,
+    embedding_dim: int = 64,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float | None = None,
+    ts_col: str = "warc_ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    hot_tokens: list[str] | None = None,
+) -> DataFrame:
+    """One micro-batch of pages -> full assignment INCLUDING new-vs-new
+    entity formation (the foreachBatch body; also a plain batch
+    operator — `pages` is a static frame here).
+
+    1. corpus assignment: identical dataflow to
+       `streaming_entity_assign` (same prepare UDF, band keys, feature
+       UDF, matcher), so scores are batch/stream-identical.
+    2. pages with no corpus match are banded against EACH OTHER (the
+       same LSH keys), pairs scoring >= threshold become edges, and
+       `connected_components` assigns every mutually-matching group ONE
+       fresh entity id = min rid (xxhash64 of url) in the component —
+       exactly the batch pipeline's id convention (pipeline.cluster),
+       so the id a group gets here is the id the next batch compaction
+       re-derives for it. Unmatched singletons get their own rid.
+
+    Output: (window_start, url, entity_id, best_score, is_new) —
+    entity_id is never NULL; `is_new` marks freshly minted entities.
+    """
+    from ember_spark.operators.clustering import connected_components
+
+    if threshold is None:
+        threshold = matcher.threshold
+    assigned = streaming_entity_assign(
+        pages, banded_corpus, matcher,
+        embedding_dim=embedding_dim, num_hashes=num_hashes,
+        bands=bands, rows=rows, threshold=threshold,
+        ts_col=ts_col, window=window, watermark=watermark,
+        hot_tokens=hot_tokens,
+    ).localCheckpoint()
+
+    un_urls = assigned.filter(F.col("entity_id").isNull()).select("url")
+    prep = make_prepare_udf(embedding_dim, num_hashes)
+    block_toks = (
+        F.array_except(F.col("tokens"), F.lit(hot_tokens))
+        if hot_tokens
+        else F.col("tokens")
+    )
+    # re-prepare ONLY the unassigned subset (a micro-batch is small;
+    # the corpus-side join above consumed the exploded form, so the
+    # compact per-page form is cheapest rebuilt than carried through)
+    un = (
+        pages.join(un_urls, "url", "left_semi")
+        .withColumn("tokens", tokenize_auto(F.col("text"), F.col("lang")))
+        .withColumn("_p", prep(F.col("tokens"), block_toks))
+        .select(
+            "url",
+            # the batch pipeline's record key: fresh entity ids must be
+            # min-rid so the next compaction re-derives the same id
+            F.xxhash64("url").alias("rid"),
+            F.substring("text", 1, 80).alias("s_text"),
+            F.length("text").cast("double").alias("s_len"),
+            F.col("_p.th").alias("s_th"),
+            F.col("_p.sig").alias("sig"),
+        )
+        .localCheckpoint()
+    )
+    # all self-join/CC shuffles carry the 8-byte rid, not the url string
+    # (the batch pipeline's exact shape); urls re-attach at the end
+    banded = un.select(
+        "rid", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band_key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.rid") < F.col("b.rid"))
+        .select(F.col("a.rid").alias("id_l"), F.col("b.rid").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    l = un.select(
+        F.col("rid").alias("id_l"), F.col("s_text").alias("t_l"),
+        F.col("s_len").alias("n_l"), F.col("s_th").alias("h_l"),
+    )
+    r = un.select(
+        F.col("rid").alias("id_r"), F.col("s_text").alias("t_r"),
+        F.col("s_len").alias("n_r"), F.col("s_th").alias("h_r"),
+    )
+    feats_udf = make_pair_text_features_udf(emb_dim=embedding_dim)
+    mx = F.greatest("n_l", "n_r")
+    mn = F.least("n_l", "n_r")
+    scored_pairs = (
+        cand.join(l, "id_l")
+        .join(r, "id_r")
+        .withColumn("_f", feats_udf(F.col("t_l"), F.col("t_r"), F.col("h_l"), F.col("h_r")))
+        .select(
+            "id_l", "id_r",
+            F.col("_f.f_jaccard").alias("f_jaccard"),
+            F.col("_f.f_containment").alias("f_containment"),
+            F.col("_f.f_jw").alias("f_jw"),
+            F.col("_f.f_cos").alias("f_cos"),
+            F.when(mx == 0, F.lit(1.0)).otherwise(mn / mx).alias("f_len_ratio"),
+        )
+        .withColumn("score", matcher.score_col())
+    )
+    edges = scored_pairs.filter(F.col("score") >= threshold).select("id_l", "id_r")
+    comp = connected_components(edges).withColumnRenamed("id", "rid")
+    fresh = un.select("url", "rid").join(comp, "rid", "left_outer").select(
+        "url",
+        # merged group: min rid of the component; singleton: own rid —
+        # both exactly what pipeline.cluster emits for the same pages
+        F.coalesce(F.col("component"), F.col("rid")).alias("fresh_id"),
+    )
+    out = (
+        assigned.join(fresh, "url", "left_outer")
+        .select(
+            "window_start",
+            "url",
+            F.coalesce(F.col("entity_id"), F.col("fresh_id")).alias("entity_id"),
+            "best_score",
+            F.col("entity_id").isNull().alias("is_new"),
+        )
+    )
+    return out
+
+
+def streaming_entity_resolve(
+    pages: DataFrame,
+    banded_corpus: DataFrame,
+    matcher: LogisticMatcher,
+    sink,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    **kwargs,
+):
+    """Start the full incremental-ER stream with new-vs-new formation:
+    readStream pages -> foreachBatch(resolve_micro_batch) -> `sink`
+    (a callable taking the resolved micro-batch DataFrame and the batch
+    id — e.g. an Iceberg/parquet appender). Returns the StreamingQuery.
+
+    foreachBatch is used deliberately: the within-batch self-join and
+    iterative connected components are not expressible as one
+    incremental plan; everything vs the STATIC corpus stays identical
+    to `streaming_entity_assign`."""
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        sink(resolve_micro_batch(df, banded_corpus, matcher, **kwargs), batch_id)
+
+    writer = pages.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

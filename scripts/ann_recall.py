@@ -50,6 +50,26 @@ def make_corpus(n: int, n_queries: int) -> pd.DataFrame:
     )
 
 
+def make_clustered_corpus(n: int, n_clusters: int = 1000, sigma: float = 0.25) -> pd.DataFrame:
+    """Planted Gaussian clusters on the sphere — IVF's operating regime
+    (real text-embedding corpora are strongly clustered): `n_clusters`
+    unit centers, each point = normalize(center + sigma*noise), so true
+    neighbors share a cluster and a coarse quantizer's Voronoi cells
+    align with the data."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(n_clusters, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n)
+    v = centers[assign] + sigma * rng.normal(size=(n, DIM))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [r.astype(np.float32).tolist() for r in v],
+        }
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -123,12 +143,61 @@ def main() -> None:
         " no cluster structure for a coarse quantizer to exploit and"
         " true neighbors scatter across Voronoi cells — recall tracks"
         " little better than the scanned fraction. Real text-embedding"
-        " corpora are strongly clustered (IVF's operating regime);"
+        " corpora are strongly clustered (IVF's operating regime) —"
+        " measured next on planted Gaussian clusters;"
         " data-independent banded LSH (above) is the right choice when"
         " the distribution is unknown, and its recall is what the"
         " dedup/ANN defaults rely on. Exhaustive probe (n_probe ="
         " n_centroids) is exact and oracle-checked in the driver"
         " contract (`ann_ivf_topk`)."
+    )
+
+    # ---- IVF in its operating regime: planted Gaussian clusters ----
+    cl = spark.createDataFrame(
+        make_clustered_corpus(n), "vec_id long, embedding array<float>"
+    ).persist()
+    cl.count()
+    corpus.unpersist()
+    cl_queries = cl.filter(f"vec_id < {n_q}")
+    t0 = time.time()
+    cl_truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(cl, cl_queries, k=k).collect()
+    }
+    cl_brute_sec = time.time() - t0
+    t0 = time.time()
+    cl_cents = train_centroids(cl, n_centroids=256, sample_size=50_000)
+    cl_train_sec = time.time() - t0
+    lines += [
+        "",
+        f"IVF on a CLUSTERED corpus (same n={n}, 1000 planted Gaussian"
+        f" clusters on the sphere, sigma=0.25 — the text-embedding"
+        f" regime IVF exists for; brute baseline {cl_brute_sec:.1f}s,"
+        f" 256-list quantizer trained in {cl_train_sec:.1f}s):",
+        "",
+        "| n_probe | fraction of corpus scanned | recall@k | wall (s) |",
+        "|---|---|---|---|",
+    ]
+    for n_probe in (1, 4, 16):
+        t0 = time.time()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                cl, cl_queries, k=k, centroids=cl_cents, n_probe=n_probe
+            ).collect()
+        }
+        wall = time.time() - t0
+        recall = len(got & cl_truth) / len(cl_truth)
+        lines.append(
+            f"| {n_probe} | ~{n_probe / 256:.3f} | {recall:.3f} | {wall:.1f} |"
+        )
+    lines.append("")
+    lines.append(
+        "On clustered data the quantizer's cells align with the"
+        " clusters: a handful of probed lists recover nearly all true"
+        " neighbors at a tiny scanned fraction — together with the"
+        " uniform worst case above, these bracket IVF's behavior; pick"
+        " IVF when the corpus is known-clustered, banded LSH otherwise."
     )
     lines.append("")
     lines.append(

@@ -119,3 +119,85 @@ def test_property_salting_is_a_physical_rewrite(spark, fat_rows, dim_keys, salt,
     want = fat.join(compact, "k", how)
     cols = ["k", "v", "name"]
     assert _counts(got, cols) == _counts(want, cols)
+
+
+# ------------------------------------------------ pipeline wiring (round 4)
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_payload_attach_salts_only_the_hot_side(spark):
+    """attach_pair_payload(salt, trigger): a pair table where one id_l
+    is a 30%+ hub must salt the id_l join (the '_salt' key appears in
+    the plan), a uniform side must keep the plain join, and the rows
+    must equal the unsalted attach exactly."""
+    from ember_spark.operators.blocking import attach_pair_payload, hot_pair_key_fracs
+
+    # hub: id_l=0 in 300 of ~700 pairs (~43%); id_r spread uniformly
+    rows = [(0, 1000 + i) for i in range(300)] + [
+        (1 + (i % 40), 2000 + i) for i in range(400)
+    ]
+    pairs = spark.createDataFrame(rows, "id_l long, id_r long").persist()
+    ids = sorted({r for pair in rows for r in pair})
+    corpus = spark.createDataFrame(
+        [(i, f"text {i}") for i in ids], "id long, text string"
+    )
+    fracs = hot_pair_key_fracs(pairs)
+    assert fracs["id_l"] > 0.4 and fracs["id_r"] < 0.01
+
+    got = attach_pair_payload(
+        pairs, corpus, "id", ["text"],
+        broadcast_payload=False, salt=8, salt_trigger_frac=0.25,
+    )
+    want = attach_pair_payload(pairs, corpus, "id", ["text"], broadcast_payload=False)
+    cols = ["id_l", "id_r", "text_l", "text_r"]
+    assert _counts(got, cols) == _counts(want, cols)
+    plan = _plan(got)
+    # the hot id_l join is salted — its salt derives from id_r — and
+    # exactly one explode-replicated compact side exists: the uniform
+    # id_r side kept the plain join
+    assert "pmod(xxhash64(id_r" in plan
+    assert "pmod(xxhash64(id_l" not in plan
+    assert plan.count("Generate explode") == 1
+    # a fully-uniform pair table must not salt at all
+    uni = spark.createDataFrame(
+        [(i % 40, 40 + i % 40 + (i % 7)) for i in range(400)], "id_l long, id_r long"
+    ).persist()
+    uni_corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "id long, text string"
+    )
+    got_uni = attach_pair_payload(
+        uni, uni_corpus, "id", ["text"],
+        broadcast_payload=False, salt=8, salt_trigger_frac=0.25,
+    )
+    assert "_salt" not in _plan(got_uni)
+    pairs.unpersist(); uni.unpersist()
+
+
+def test_pipeline_payload_salt_output_identical(spark):
+    """ERPipeline with payload_salt armed produces byte-identical scored
+    pairs to the default config — salting is a physical rewrite only."""
+    from ember_spark.plans.pipeline import ERPipeline, PipelineConfig
+
+    docs = spark.createDataFrame(
+        [
+            (f"u{i}{s}", f"item{i} widget{i} gadget{i} model{i} rev {s}", "en")
+            for i in range(12)
+            for s in ("a", "b")
+        ],
+        "url string, text string, lang string",
+    )
+    base = ERPipeline(spark, PipelineConfig(hot_token_df_frac=0.0))
+    salted = ERPipeline(
+        spark,
+        PipelineConfig(hot_token_df_frac=0.0, payload_salt=4,
+                       payload_salt_trigger_frac=0.0),
+    )
+    prep_b = base.prepare(docs).persist()
+    pairs_b = base.block(prep_b).persist()
+    s1 = base.score(pairs_b, prep_b)
+    s2 = salted.score(pairs_b, prep_b)
+    cols = ["id_l", "id_r", "score", "prediction"]
+    assert _counts(s1, cols) == _counts(s2, cols)
+    assert s1.count() > 0
+    prep_b.unpersist(); pairs_b.unpersist()
