@@ -46,64 +46,92 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 from bench_md import update_section  # noqa: E402
 
 
-def run_level(cores: int, entities: int, trials: int) -> dict:
-    best = None
-    cpu_trials: list[float] = []
+def run_trial(cores: int, entities: int) -> dict:
+    """One fresh-JVM bench.py --er-only run at `cores` slots."""
     mode = os.environ.get("EMBER_SCALING_MODE", "threads")
-    for _ in range(trials):
-        env = dict(os.environ)
-        if mode == "executors":
-            env["EMBER_EXECUTORS"] = str(cores)
-        else:
-            env["SPARK_GRAFT_CPUS"] = str(cores)
-        env["EMBER_BENCH_ENTITIES"] = str(entities)
-        # the scaling job profile, applied IDENTICALLY at every level:
-        # - fixed shuffle width (32): the physical plan must be the same
-        #   at N and 4N slots — a cluster job's shuffle width is sized to
-        #   the data, not re-planned per executor count; letting width
-        #   track slots would compare two different jobs.
-        # - shuffle compression off: shuffles live on tmpfs here, so lz4
-        #   is pure CPU overhead with no bandwidth to buy (a network
-        #   cluster turns it back on — at both sizes equally).
-        env.setdefault(
-            "EMBER_EXTRA_CONF",
-            "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
-            "spark.sql.shuffle.partitions=32",
-        )
-        # DEFAULT: size the JVM like an N-core executor container
-        # (ActiveProcessorCount=N) — on a real cluster every executor
-        # JVM sees exactly its core allotment and sizes GC/service
-        # pools for it; without this every level's JVM sizes pools for
-        # all host cores, billing the narrow levels extra service CPU.
-        # EMBER_SCALING_APC=0 opts out (the pre-r3-final protocol).
-        if os.environ.get("EMBER_SCALING_APC", "1") != "0":
-            env["EMBER_APC"] = str(cores)
-        cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"]
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        # in-window core-seconds measured by bench.py itself: CPU window
-        # == timed window (startup + generation excluded on both sides)
-        r["avg_cores_used"] = r["detail"]["er_avg_cores"]
-        r["cpu_core_sec"] = r["detail"]["er_cpu_core_sec"]
-        cpu_trials.append(r["detail"]["er_cpu_core_sec"])
-        if best is None or r["queries"]["er_total"] < best["queries"]["er_total"]:
-            best = r
-    # interference shows up as EXTRA cpu (stall cycles bill as CPU
-    # time): like min-wall for throughput, min-cpu across trials
-    # approximates the uncontended cost of the same fixed work — the
-    # cpu-normalized efficiency uses this reading at every level
-    best["cpu_core_sec_min"] = min(cpu_trials)
-    return best
+    env = dict(os.environ)
+    if mode == "executors":
+        env["EMBER_EXECUTORS"] = str(cores)
+    else:
+        env["SPARK_GRAFT_CPUS"] = str(cores)
+    env["EMBER_BENCH_ENTITIES"] = str(entities)
+    # the scaling job profile, applied IDENTICALLY at every level:
+    # - fixed shuffle width (32): the physical plan must be the same
+    #   at N and 4N slots — a cluster job's shuffle width is sized to
+    #   the data, not re-planned per executor count; letting width
+    #   track slots would compare two different jobs.
+    # - shuffle compression off: shuffles live on tmpfs here, so lz4
+    #   is pure CPU overhead with no bandwidth to buy (a network
+    #   cluster turns it back on — at both sizes equally).
+    env.setdefault(
+        "EMBER_EXTRA_CONF",
+        "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
+        "spark.sql.shuffle.partitions=32",
+    )
+    # DEFAULT: size the JVM like an N-core executor container
+    # (ActiveProcessorCount=N) — on a real cluster every executor
+    # JVM sees exactly its core allotment and sizes GC/service
+    # pools for it; without this every level's JVM sizes pools for
+    # all host cores, billing the narrow levels extra service CPU.
+    # EMBER_SCALING_APC=0 opts out (the pre-r3-final protocol).
+    if os.environ.get("EMBER_SCALING_APC", "1") != "0":
+        env["EMBER_APC"] = str(cores)
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    # in-window core-seconds measured by bench.py itself: CPU window
+    # == timed window (startup + generation excluded on both sides)
+    r["avg_cores_used"] = r["detail"]["er_avg_cores"]
+    r["cpu_core_sec"] = r["detail"]["er_cpu_core_sec"]
+    # per-trial stage walls + CPU to stderr IMMEDIATELY: a single
+    # contended trial (r4 first full run: one level-4 er_block at 2.3x
+    # its neighbors' cost) must be visible in the log, not folded
+    # silently into a best-of selection
+    stages = {
+        k: (r["queries"].get(k), r["detail"].get("er_stage_cpu", {}).get(k))
+        for k in ("er_prepare", "er_block", "er_score", "er_cluster")
+    }
+    print(
+        f"[trial] cores={cores} er_total={r['queries']['er_total']}"
+        f" cpu={r['cpu_core_sec']} stages(wall/cpu)={stages}",
+        file=sys.stderr,
+        flush=True,
+    )
+    return r
+
+
+def run_levels(levels: list[int], entities: int, trials: int) -> dict[int, dict]:
+    """All levels x trials, TRIAL-MAJOR (trial 1 of every level, then
+    trial 2 of every level, ...): slow environmental drift on a shared
+    box (thermal throttle, co-tenant load ramping over the ~2h sweep)
+    then lands on every level equally instead of systematically taxing
+    whichever levels run last. Per level: min-wall trial is kept whole
+    (its stage tables are internally consistent); min-CPU is taken
+    across trials — interference shows up as EXTRA cpu (stall cycles
+    bill as CPU time), so like min-wall for throughput, min-cpu
+    approximates the uncontended cost of the same fixed work."""
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+    for t in range(trials):
+        for c in levels:
+            runs[c].append(run_trial(c, entities))
+    results: dict[int, dict] = {}
+    for c, rs in runs.items():
+        best = min(rs, key=lambda r: r["queries"]["er_total"])
+        best["cpu_core_sec_min"] = min(r["cpu_core_sec"] for r in rs)
+        best["trial_walls"] = [r["queries"]["er_total"] for r in rs]
+        best["trial_cpus"] = [r["cpu_core_sec"] for r in rs]
+        results[c] = best
+    return results
 
 
 def main() -> None:
     entities = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     levels = [int(x) for x in sys.argv[2:]] or [2, 8]
     trials = int(os.environ.get("EMBER_SCALING_TRIALS", "3"))
-    results = {c: run_level(c, entities, trials) for c in sorted(levels)}
+    results = run_levels(sorted(levels), entities, trials)
     pairs = results[max(levels)]["detail"]["scored_pairs"]
     docs = results[max(levels)]["detail"]["docs"]
 
@@ -150,6 +178,8 @@ def main() -> None:
                 "avg_cores_used": r["avg_cores_used"],
                 "cpu_core_sec": r["cpu_core_sec"],
                 "cpu_core_sec_min": r["cpu_core_sec_min"],
+                "trial_walls": r["trial_walls"],
+                "trial_cpus": r["trial_cpus"],
                 "stages": r["queries"],
                 "stage_cpu": r["detail"].get("er_stage_cpu", {}),
             }
