@@ -77,11 +77,35 @@ def run_trial(cores: int, entities: int) -> dict:
     if os.environ.get("EMBER_SCALING_APC", "1") != "0":
         env["EMBER_APC"] = str(cores)
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
+    # a trial can wedge (observed once at 32 slots: a python worker
+    # slept on its socket while the JVM task waited on Arrow output —
+    # both sides blocked forever) or die; either way retry ONCE with a
+    # fresh JVM rather than aborting the whole multi-hour sweep. The
+    # per-attempt timeout bounds a hang at 40min, ~2x the slowest
+    # honest trial (level 1 at 400k entities).
+    last_err = None
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, cwd=REPO,
+                timeout=int(os.environ.get("EMBER_TRIAL_TIMEOUT", "2400")),
+            )
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            r = json.loads(line)
+            break
+        except (subprocess.TimeoutExpired, IndexError, json.JSONDecodeError) as e:
+            last_err = e
+            print(
+                f"[trial] cores={cores} attempt {attempt} FAILED ({type(e).__name__})"
+                " — retrying with a fresh JVM",
+                file=sys.stderr,
+                flush=True,
+            )
+            subprocess.run(["pkill", "-9", "-f", "ember_bench"], check=False)
+    else:
+        raise RuntimeError(f"trial at {cores} cores failed twice: {last_err!r}")
     # in-window core-seconds measured by bench.py itself: CPU window
     # == timed window (startup + generation excluded on both sides)
     r["avg_cores_used"] = r["detail"]["er_avg_cores"]
