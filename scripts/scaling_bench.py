@@ -46,6 +46,34 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 from bench_md import update_section  # noqa: E402
 
 
+def _trial_log_path() -> str:
+    """Per-trial checkpoint log. A 5-level x 2-trial sweep is ~2h of
+    measurement held in one process's memory; two driver crashes have
+    each lost a complete sweep. Every finished trial is appended here
+    as one JSON line; a rerun with EMBER_SCALING_RESUME=1 consumes
+    matching (entities, cores, mode) records in FIFO order instead of
+    re-running them — same protocol, same data, just persisted."""
+    return os.environ.get(
+        "EMBER_SCALING_LOG", os.path.join("/tmp", "scaling_trials.jsonl")
+    )
+
+
+def _load_resume_pool(entities: int) -> dict[int, list[dict]]:
+    pool: dict[int, list[dict]] = {}
+    if os.environ.get("EMBER_SCALING_RESUME", "0") == "0":
+        return pool
+    mode = os.environ.get("EMBER_SCALING_MODE", "threads")
+    try:
+        with open(_trial_log_path()) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("entities") == entities and rec.get("mode") == mode:
+                    pool.setdefault(rec["cores"], []).append(rec["result"])
+    except FileNotFoundError:
+        pass
+    return pool
+
+
 def run_trial(cores: int, entities: int) -> dict:
     """One fresh-JVM bench.py --er-only run at `cores` slots."""
     mode = os.environ.get("EMBER_SCALING_MODE", "threads")
@@ -124,6 +152,14 @@ def run_trial(cores: int, entities: int) -> dict:
         file=sys.stderr,
         flush=True,
     )
+    mode = os.environ.get("EMBER_SCALING_MODE", "threads")
+    with open(_trial_log_path(), "a") as f:
+        f.write(
+            json.dumps(
+                {"entities": entities, "cores": cores, "mode": mode, "result": r}
+            )
+            + "\n"
+        )
     return r
 
 
@@ -138,9 +174,20 @@ def run_levels(levels: list[int], entities: int, trials: int) -> dict[int, dict]
     bill as CPU time), so like min-wall for throughput, min-cpu
     approximates the uncontended cost of the same fixed work."""
     runs: dict[int, list[dict]] = {c: [] for c in levels}
+    pool = _load_resume_pool(entities)
     for t in range(trials):
         for c in levels:
-            runs[c].append(run_trial(c, entities))
+            if pool.get(c):
+                r = pool[c].pop(0)
+                print(
+                    f"[trial] cores={c} trial {t}: resumed from"
+                    f" {_trial_log_path()} (er_total={r['queries']['er_total']})",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                runs[c].append(r)
+            else:
+                runs[c].append(run_trial(c, entities))
     results: dict[int, dict] = {}
     for c, rs in runs.items():
         best = min(rs, key=lambda r: r["queries"]["er_total"])
