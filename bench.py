@@ -243,6 +243,14 @@ def main() -> None:
     drop_all_blocks()
 
     # ---------------- headline oracle queries at sf dir ---------------------
+    # best-of-N per query (min wall): the box is a shared host with
+    # ±25% interference spikes, and a single cold run recorded a 14s
+    # x5_jaccard_pairs for two rounds while the query measured 2-4s in
+    # every controlled session. The minimum approximates the
+    # uncontended cost — the same estimator the scaling evidence uses.
+    # N=2 bounds the added bench wall to the (cheap) non-ER section;
+    # EMBER_BENCH_QUERY_TRIALS=1 restores the old single-shot protocol.
+    q_trials = max(1, int(os.environ.get("EMBER_BENCH_QUERY_TRIALS", "2")))
     if not args.er_only:
         for name in [
             "tpch_q1",
@@ -257,11 +265,15 @@ def main() -> None:
             "er_pipeline_entities",
         ]:
             fn = entry_mod.queries()[name]
-            t0 = time.time()
-            df = fn(spark, args.sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 3)
-            drop_all_blocks()
+            best = None
+            for _ in range(q_trials):
+                t0 = time.time()
+                df = fn(spark, args.sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                wall = time.time() - t0
+                best = wall if best is None else min(best, wall)
+                drop_all_blocks()
+            queries[name] = round(best, 3)
 
     out = {
         "metric": "candidate_pairs_per_sec",
