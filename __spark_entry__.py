@@ -384,17 +384,17 @@ def q_x5_jaccard_pairs(spark, sf):  # X5 + J1/F4: blocked pairs + token jaccard
     #    precomputed, dropping the per-pair array_union entirely
     from ember_spark.functions.similarity import hash_tokens, jaccard_from_hashed
 
-    # repartition BEFORE the tokenize+hash projection: the test parquet
-    # is one small file -> one scan partition, which would serialize the
-    # per-doc (interpreted-HOF) work onto a single core. At production
-    # scale the scan has file-granularity parallelism, but an operator
-    # whose compute >> scan must not inherit the input's file layout —
-    # the shuffle moves only the raw rows (cheap), the expensive
-    # projection then runs on every core. (Driver bench r2/r3 recorded
-    # 13.9s here from exactly this: 9s of single-core cold-JIT HOF.)
+    # ensure_parallelism BEFORE the tokenize+hash projection: the test
+    # parquet is one small file -> one scan partition, which would
+    # serialize the per-doc (interpreted-HOF) work onto a single core.
+    # (Driver bench r2/r3 recorded 13.9s here from exactly this: 9s of
+    # single-core cold-JIT HOF.) The helper is conditional — a
+    # production multi-file scan that is already wider than the session
+    # parallelism keeps its file-granularity partitioning untouched.
+    from ember_spark.operators.blocking import ensure_parallelism
+
     d = (
-        _t(spark, sf, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        ensure_parallelism(_t(spark, sf, "documents"))
         .select(
             "doc_id",
             "lang",
@@ -1560,7 +1560,10 @@ def _ann_lsh_oracle_sql(bands: int, rows: int, probe_bits: int, k: int) -> str:
     m = plane_matrix(bands * rows, 64)  # (dim, planes), same as Spark UDF
 
     def plane_lit(p: int) -> str:
-        return "[" + ",".join(repr(v) for v in m[:, p]) + "]::DOUBLE[]"
+        # repr(float(v)), not repr(v): numpy >= 2.0 changed scalar repr
+        # to 'np.float64(0.5)', which is not SQL; float() round-trips
+        # the exact double either way
+        return "[" + ",".join(repr(float(v)) for v in m[:, p]) + "]::DOUBLE[]"
 
     key_exprs = []
     for b in range(bands):

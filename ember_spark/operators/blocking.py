@@ -266,8 +266,13 @@ def attach_pair_payload(
         return pairs.join(F.broadcast(left), "id_l").join(F.broadcast(right), "id_r")
     salt_sides = {"id_l": salt > 1, "id_r": salt > 1}
     if salt > 1 and salt_trigger_frac > 0:
+        # an EMPTY pair table yields no census rows: keep the plain
+        # joins (nothing to skew) instead of KeyError-ing on the side
+        # lookup below
         fracs = hot_pair_key_fracs(pairs)
-        salt_sides = {k: fracs[k] >= salt_trigger_frac for k in fracs}
+        salt_sides = {
+            k: fracs.get(k, 0.0) >= salt_trigger_frac for k in salt_sides
+        }
     from ember_spark.operators.skew import salted_join
 
     if salt_sides["id_l"]:

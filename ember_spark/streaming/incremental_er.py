@@ -229,7 +229,13 @@ def resolve_micro_batch(
         hot_tokens=hot_tokens,
     ).localCheckpoint()
 
-    un_urls = assigned.filter(F.col("entity_id").isNull()).select("url")
+    # distinct on BOTH sides of the rebuild: `assigned` has one row per
+    # (url, window) — a url recrawled across two windows in the same
+    # micro-batch appears twice — and raw `pages` can carry the url
+    # twice too; without dedup the final left_outer join would fan each
+    # assignment row out per duplicate (2 windows x 2 fresh rows = 4
+    # output rows for one page), breaking one-row-per-page-per-window
+    un_urls = assigned.filter(F.col("entity_id").isNull()).select("url").distinct()
     prep = make_prepare_udf(embedding_dim, num_hashes)
     block_toks = (
         F.array_except(F.col("tokens"), F.lit(hot_tokens))
@@ -241,6 +247,7 @@ def resolve_micro_batch(
     # compact per-page form is cheapest rebuilt than carried through)
     un = (
         pages.join(un_urls, "url", "left_semi")
+        .dropDuplicates(["url"])
         .withColumn("tokens", tokenize_auto(F.col("text"), F.col("lang")))
         .withColumn("_p", prep(F.col("tokens"), block_toks))
         .select(

@@ -58,19 +58,49 @@ def _trial_log_path() -> str:
     )
 
 
+def _protocol() -> dict:
+    """Every knob that changes what a trial measures. Recorded with
+    each checkpointed trial and matched EXACTLY on resume — a trial
+    run under EMBER_SCALING_APC=0 or a different EMBER_EXTRA_CONF is a
+    different experiment and must not be silently folded into a sweep's
+    min-wall/min-cpu selection. (Pre-r4 records lack the field and are
+    skipped with a warning rather than assumed compatible.)"""
+    return {
+        "apc": os.environ.get("EMBER_SCALING_APC", "1"),
+        "extra_conf": os.environ.get(
+            "EMBER_EXTRA_CONF",
+            "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
+            "spark.sql.shuffle.partitions=32",
+        ),
+    }
+
+
 def _load_resume_pool(entities: int) -> dict[int, list[dict]]:
     pool: dict[int, list[dict]] = {}
     if os.environ.get("EMBER_SCALING_RESUME", "0") == "0":
         return pool
     mode = os.environ.get("EMBER_SCALING_MODE", "threads")
+    proto = _protocol()
+    skipped = 0
     try:
         with open(_trial_log_path()) as f:
             for line in f:
                 rec = json.loads(line)
-                if rec.get("entities") == entities and rec.get("mode") == mode:
-                    pool.setdefault(rec["cores"], []).append(rec["result"])
+                if rec.get("entities") != entities or rec.get("mode") != mode:
+                    continue
+                if rec.get("protocol", None) != proto:
+                    skipped += 1
+                    continue
+                pool.setdefault(rec["cores"], []).append(rec["result"])
     except FileNotFoundError:
         pass
+    if skipped:
+        print(
+            f"[resume] skipped {skipped} checkpointed trial(s) recorded"
+            " under a different or unrecorded protocol (APC/extra-conf)",
+            file=sys.stderr,
+            flush=True,
+        )
     return pool
 
 
@@ -156,7 +186,13 @@ def run_trial(cores: int, entities: int) -> dict:
     with open(_trial_log_path(), "a") as f:
         f.write(
             json.dumps(
-                {"entities": entities, "cores": cores, "mode": mode, "result": r}
+                {
+                    "entities": entities,
+                    "cores": cores,
+                    "mode": mode,
+                    "protocol": _protocol(),
+                    "result": r,
+                }
             )
             + "\n"
         )
@@ -338,18 +374,26 @@ Two efficiency readings, both reported:
         " the data — not as the gate reading.\n"
     )
     if windows:
+        # Gate criterion (fixed, not chosen per run): a clean PASS
+        # requires BOTH readings >= 0.8 on the gate window — the two
+        # readings bracket the truth, so a gate that accepts whichever
+        # one passes would be a max() with post-hoc rationalization. If
+        # exactly one reading clears, the verdict is printed as a
+        # QUALIFIED pass/fail naming the shortfall, never as the other
+        # reading "corroborating".
         w0 = windows[0]  # lowest N->4N window == the gate window
         nom0 = w0["efficiency_nominal"]
         cn0 = w0["efficiency_cpu_normalized"] or 0.0
-        if nom0 >= 0.8:
+        if nom0 >= 0.8 and cn0 >= 0.8:
             md += (
                 f"\n**Gate verdict: PASS on the {w0['window']} window —"
                 f" {nom0} nominal (the gate reading), corroborated by"
-                f" {cn0} cpu-normalized.** The nominal number is the gate"
-                " reading: it is the direct T_N / (4 x T_4N) quantity the"
-                " north_rule asks for, with no normalization step a reader"
-                " has to trust. Both are printed at 4 decimals; neither is"
-                " rounded onto the gate.\n"
+                f" {cn0} cpu-normalized; BOTH readings clear 0.8.** The"
+                " nominal number is the gate reading: it is the direct"
+                " T_N / (4 x T_4N) quantity the north_rule asks for, with"
+                " no normalization step a reader has to trust. Both are"
+                " printed at 4 decimals; neither is rounded onto the"
+                " gate.\n"
             )
             if cn0 > 1.0:
                 md += (
@@ -365,20 +409,39 @@ Two efficiency readings, both reported:
                     " (the dataflow wastes no work as parallelism grows),"
                     " not as the gate.\n"
                 )
+        elif nom0 >= 0.8:
+            md += (
+                f"\n**Gate verdict: PASS (nominal only) on the"
+                f" {w0['window']} window — {nom0} nominal clears 0.8 but"
+                f" {cn0} cpu-normalized does NOT.** The direct wall-clock"
+                " criterion the north_rule asks for is met, but the"
+                " per-core-second reading disagrees — flagged for"
+                " investigation, not smoothed over: a sub-0.8"
+                " cpu-normalized reading at passing nominal means the"
+                " wide level is consuming disproportionate CPU for the"
+                " same work.\n"
+            )
+        elif cn0 >= 0.8:
+            md += (
+                f"\n**Gate verdict: QUALIFIED PASS (cpu-normalized only)"
+                f" on the {w0['window']} window — {cn0} cpu-normalized"
+                f" clears 0.8, {nom0} nominal does NOT.** The"
+                " cpu-normalized reading is the single-box quantity that"
+                " transfers to a cluster (work per consumed core-second,"
+                " immune to local[N]'s task-slot-only cap); nominal is"
+                " its documented lower bound — deflated on one box by"
+                " process-tree threads beyond N slots at the narrow"
+                " level and by shared-DRAM stalls at the wide level,"
+                " both artifacts a multi-executor cluster does not have."
+                " A reader who rejects that argument should read this"
+                " verdict as FAIL; both numbers are printed at 4"
+                " decimals so the call is theirs.\n"
+            )
         else:
             md += (
-                f"\n**Gate verdict: {'PASS' if cn0 >= 0.8 else 'FAIL'} on"
-                f" the {w0['window']} window — {cn0} cpu-normalized (the"
-                f" gate reading), {nom0} nominal.** The cpu-normalized"
-                " number is the gate reading because it is the single-box"
-                " quantity that transfers to a cluster (work per consumed"
-                " core-second, immune to local[N]'s task-slot-only cap);"
-                " the nominal number is its documented lower bound —"
-                " deflated on one box by process-tree threads beyond N"
-                " slots at the narrow level and by shared-DRAM stalls at"
-                " the wide level, both artifacts a multi-executor cluster"
-                " does not have. Both are printed at 4 decimals; neither"
-                " is rounded onto the gate.\n"
+                f"\n**Gate verdict: FAIL on the {w0['window']} window —"
+                f" {nom0} nominal / {cn0} cpu-normalized, both below"
+                " 0.8.**\n"
             )
         below = [
             w

@@ -275,3 +275,46 @@ def test_new_vs_new_duplicates_merge_within_a_micro_batch(spark, resolved, tmp_p
         q.stop()
     got = {r["url"]: r["entity_id"] for r in collected}
     assert got == {u: r["entity_id"] for u, r in out.items()}
+
+
+def test_micro_batch_recrawled_url_one_row_per_window(spark, resolved):
+    """A url recrawled twice within one micro-batch (two warc_ts in
+    different windows) must still yield exactly one output row per
+    (window_start, url): the new-vs-new leg dedupes the url before the
+    self-join, so the final left_outer re-attach cannot fan assignment
+    rows out per duplicate."""
+    import datetime as _dt
+
+    from ember_spark.streaming.incremental_er import resolve_micro_batch
+
+    pipe, prepared, entities, pages, _ = resolved
+    banded = band_corpus(
+        prepared, entities, bands=pipe.cfg.bands, rows=pipe.cfg.rows
+    ).cache()
+    hot = pipe.hot_token_list(pipe.extract(pages))
+    t0 = _dt.datetime(2026, 1, 1, 12, 0, 0)
+    novel_text = "rrtz5 ppkm2 uuvb8 qqnd3 xxwe6"
+    schema = "warc_ts timestamp, url string, text string, lang string"
+    batch = spark.createDataFrame(
+        [
+            # same novel url, two windows apart -> 2 assigned rows
+            (t0, "stream://recrawl", novel_text, "en"),
+            (t0 + _dt.timedelta(hours=1), "stream://recrawl", novel_text, "en"),
+            # a second novel page that matches it -> fresh shared entity
+            (t0, "stream://other", novel_text + " tail", "en"),
+        ],
+        schema,
+    )
+    out = resolve_micro_batch(
+        batch, banded, pipe.cfg.matcher,
+        embedding_dim=pipe.cfg.embedding_dim, num_hashes=pipe.cfg.num_hashes,
+        bands=pipe.cfg.bands, rows=pipe.cfg.rows, hot_tokens=hot,
+    ).collect()
+    keys = [(r["window_start"], r["url"]) for r in out]
+    assert len(keys) == len(set(keys)), keys  # no fan-out duplicates
+    recrawl = [r for r in out if r["url"] == "stream://recrawl"]
+    assert len(recrawl) == 2  # one per window, each resolved
+    eids = {r["entity_id"] for r in recrawl}
+    assert len(eids) == 1 and None not in eids
+    other = [r for r in out if r["url"] == "stream://other"]
+    assert other and other[0]["entity_id"] in eids  # merged with recrawl

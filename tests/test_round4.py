@@ -2,6 +2,8 @@
 value oracle's engine-independence precondition, and the
 ensure_parallelism narrow-scan fix."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -30,9 +32,11 @@ def test_lsh_oracle_planes_match_spark_side():
 
     sql = entry_mod._ann_lsh_oracle_sql(bands=8, rows=3, probe_bits=1, k=3)
     m = plane_matrix(24, 64)
-    # spot-check plane 0 and plane 23 appear verbatim (repr round-trip)
+    # spot-check plane 0 and plane 23 appear verbatim (float round-trip
+    # — repr(float(v)), matching the oracle builder: repr(np.float64)
+    # under numpy >= 2.0 is 'np.float64(...)', not SQL)
     for p in (0, 23):
-        frag = ",".join(repr(v) for v in m[:, p])
+        frag = ",".join(repr(float(v)) for v in m[:, p])
         assert frag in sql
     # the probe ball for rows=3, probe_bits=1 is XOR masks {0,1,2,4}
     assert "(0),(1),(2),(4)" in sql
@@ -47,8 +51,11 @@ def test_lsh_oracle_sign_margin_on_testdata():
     duckdb = pytest.importorskip("duckdb")
     from ember_spark.functions.hashing import plane_matrix
 
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
     rows = duckdb.connect().execute(
-        "SELECT embedding FROM '/root/testdata/sf0.001/embeddings.parquet'"
+        f"SELECT embedding FROM '{path}'"
     ).fetchall()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     proj = X @ plane_matrix(24, 64)

@@ -201,3 +201,20 @@ def test_pipeline_payload_salt_output_identical(spark):
     assert _counts(s1, cols) == _counts(s2, cols)
     assert s1.count() > 0
     prep_b.unpersist(); pairs_b.unpersist()
+
+
+def test_payload_attach_salt_census_on_empty_pairs(spark):
+    """An EMPTY pair table with the census trigger armed must return an
+    empty attach (plain joins), not KeyError on the missing census rows
+    — an all-unique corpus yields zero candidate pairs and the score
+    stage must survive it."""
+    from ember_spark.operators.blocking import attach_pair_payload
+
+    pairs = spark.createDataFrame([], "id_l long, id_r long")
+    corpus = spark.createDataFrame([(1, "t")], "id long, text string")
+    out = attach_pair_payload(
+        pairs, corpus, "id", ["text"],
+        broadcast_payload=False, salt=8, salt_trigger_frac=0.25,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"id_l", "id_r", "text_l", "text_r"}
