@@ -74,6 +74,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     input_fp: str | None = None,
     cleanup: bool = True,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """Compute connected components of an undirected edge list.
 
@@ -107,6 +108,26 @@ def connected_components(
     except the final one (the returned DataFrame lazily reads it).
     Callers may remove the whole fingerprint subdirectory once the
     result has been consumed/materialized.
+
+    `local_threshold`: edge sets at or below this size (known for free
+    from the iteration-0 checksum) run driver-local union-find instead
+    of the distributed star loop — the loop is driver-synchronized, so
+    on a small graph its per-iteration job latency (4+ shuffles x
+    O(log^2 n) rounds) dwarfs the actual work; every real system gates
+    a local solver the same way. The collect is BOUNDED at
+    `local_threshold` edges (<= ~16 MB of longs at the default — the
+    same class as the repo's other justified collects: quantizer and
+    training samples), value-identical to the distributed path
+    (property-tested), and out of play at scale: a 10^12-page corpus's
+    match-edge set exceeds the bound by ~6 orders of magnitude, and the
+    400k-entity scaling-evidence job provably stays on the distributed
+    loop — its recorded trial detail has docs - predicted_entities =
+    1,438,741 - 400,166 = 1,038,575 merges, each requiring a distinct
+    match edge, so its edge set is > 2x the bound before counting any
+    non-spanning edge. Gated to `checkpoint_dir is None`: a job that
+    asked for durable iteration state keeps the resumable loop
+    regardless of size. `local_threshold=0` forces the distributed
+    path.
     """
     spark = edges.sparkSession
 
@@ -161,6 +182,57 @@ def connected_components(
     # cost that a 4x-wider cluster cannot shrink
     e = persist_iter(raw.filter(F.col("src") != F.col("dst")).distinct(), 0)
     prev = _checksum(e)
+
+    if checkpoint_dir is None and prev[0] <= local_threshold:
+        # small-graph fast path (see docstring): the edge count is
+        # already known from the checksum action, which also
+        # materialized `e` — the bounded collect reads cached blocks.
+        # Union-by-min + path compression: rooting at the smaller id
+        # keeps every root the minimum of its tree, so the final root
+        # IS the component's min id — the exact distributed contract.
+        from pyspark.sql import types as T
+
+        pdf = e.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        srcs, dsts = pdf["src"].tolist(), pdf["dst"].tolist()
+        for u, v in zip(srcs, dsts):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        ids = sorted(set(srcs).union(dsts))
+        id_type = e.schema["src"].dataType
+        import pandas as pd
+
+        # pandas + explicit schema: Arrow-batched transfer, not a
+        # per-row pickle of ~|V| python tuples
+        members = spark.createDataFrame(
+            pd.DataFrame({"id": ids, "component": [find(i) for i in ids]}),
+            T.StructType(
+                [
+                    T.StructField("id", id_type),
+                    T.StructField("component", id_type),
+                ]
+            ),
+        )
+        # same final assembly as the distributed path: self-loop-only
+        # nodes appear in `nodes` but not in `e` and map to themselves
+        selfmap = nodes.withColumn("component", F.col("id"))
+        return (
+            members.union(selfmap)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
 
     # CC is a driver-synchronized loop of small shuffles; with a wide
     # session shuffle width each round pays per-task overhead on near-

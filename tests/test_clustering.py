@@ -28,12 +28,22 @@ def _uf_oracle(edges):
 
 
 def _run_cc(spark, edges):
+    """Every crafted graph checks BOTH execution paths against the
+    oracle: the small-graph local union-find (the default at this size)
+    and the distributed star loop (forced via local_threshold=0)."""
     df = spark.createDataFrame(
         pd.DataFrame(edges, columns=["id_l", "id_r"]), "id_l long, id_r long"
     )
-    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     exp = _uf_oracle(edges)
-    assert got == exp, f"got={got} exp={exp}"
+    got_local = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got_local == exp, f"local: got={got_local} exp={exp}"
+    got_dist = {
+        r["id"]: r["component"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert got_dist == exp, f"distributed: got={got_dist} exp={exp}"
 
 
 def test_cc_chain(spark):
@@ -68,3 +78,47 @@ def test_cc_string_ids(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == {"u-a": "u-a", "u-b": "u-a", "u-c": "u-a", "u-x": "u-x", "u-y": "u-x"}
+
+
+def test_cc_string_ids_both_paths(spark):
+    edges = [("u-a", "u-b"), ("u-b", "u-c"), ("u-x", "u-y")]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_l", "id_r"]), "id_l string, id_r string"
+    )
+    want = {"u-a": "u-a", "u-b": "u-a", "u-c": "u-a", "u-x": "u-x", "u-y": "u-x"}
+    for thr in (500_000, 0):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df, local_threshold=thr).collect()
+        }
+        assert got == want, thr
+
+
+def test_cc_empty_edges_both_paths(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(columns=["id_l", "id_r"]), "id_l long, id_r long"
+    )
+    for thr in (500_000, 0):
+        assert connected_components(df, local_threshold=thr).count() == 0, thr
+
+
+def test_cc_local_path_equals_distributed_property(spark):
+    """Randomized equivalence: on arbitrary graphs (dup edges, self
+    loops, chains crossing component minima) the local union-find and
+    the distributed star loop return the identical (id, component)
+    set."""
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randrange(5, 120)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(1, 200))
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["id_l", "id_r"]), "id_l long, id_r long"
+        )
+        local = sorted(map(tuple, connected_components(df).collect()))
+        dist = sorted(
+            map(tuple, connected_components(df, local_threshold=0).collect())
+        )
+        assert local == dist, (trial, edges)
