@@ -270,7 +270,81 @@ def make_minhash_sig_udf(num_hashes: int = 64):
     return _sig
 
 
-def make_prepare_udf(dim: int = 64, num_hashes: int = 64):
+def hot_u64_array(hot_tokens) -> np.ndarray:
+    """The hot-token set as sorted u64 base hashes — the form
+    `prepare_batch` excludes by. Hash-equality exclusion is value-
+    identical to string `array_except` followed by hashing: every
+    downstream consumer (MinHash, band keys) sees only the u64 hash, so
+    a token is indistinguishable from a hot token exactly when their
+    hashes collide (~2^-64 per token pair — negligible by design)."""
+    return np.array(
+        sorted({_token_u64(t) for t in (hot_tokens or ())}), dtype=np.uint64
+    )
+
+
+def prepare_batch(
+    token_lists, hot_u64: np.ndarray, dim: int = 64, num_hashes: int = 64
+):
+    """Batch-vectorized prepare kernel over a whole Arrow batch:
+    hashes every token ONCE (one flat pass — the per-doc
+    th/minhash pair used to hash each token twice), then derives
+
+    - `th` per doc: sorted unique int32 top-halves via ONE lexsort +
+      adjacent-dedup over the batch (replaces a per-doc `np.unique`),
+    - `emb` per doc: `emb_from_th` on the th slice (kept per-doc so the
+      "recompute emb exactly from th" invariant is true by construction),
+    - `sig` per doc: MinHash over the hot-FILTERED hashes — the hot set
+      arrives as u64 hashes (`hot_u64_array`), so no string
+      `array_except` column ever ships through Arrow.
+
+    Value-identical to th_from_tokens / emb_from_th /
+    minhash_signature_py per doc (property-tested in
+    tests/test_hashing.py::test_prepare_batch_matches_per_doc_kernels)."""
+    n = len(token_lists)
+    lens = np.zeros(n, dtype=np.int64)
+    flat: list = []
+    for i, tl in enumerate(token_lists):
+        if tl is not None and len(tl):
+            lens[i] = len(tl)
+            flat.extend(tl)
+    total = int(lens.sum())
+    hs = np.fromiter((_token_u64(t) for t in flat), dtype=np.uint64, count=total)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    # ---- th: per-doc sorted unique int32, one batch lexsort
+    h32 = (hs >> np.uint64(32)).astype(np.int64).astype(np.int32)
+    order = np.lexsort((h32, doc))
+    d_s, h_s = doc[order], h32[order]
+    keep = np.ones(total, dtype=bool)
+    if total:
+        keep[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+    d_u, h_u = d_s[keep], h_s[keep]
+    starts = np.searchsorted(d_u, np.arange(n))
+    ends = np.append(starts[1:], len(d_u))
+    ths = [h_u[a:b] for a, b in zip(starts, ends)]
+
+    embs = [emb_from_th(t, dim) for t in ths]
+
+    # ---- sig: MinHash over hot-filtered hashes, per-doc C slices
+    a_p, b_p = _minhash_params(num_hashes)
+    if len(hot_u64):
+        bmask = ~np.isin(hs, hot_u64)
+        bh, bdoc = hs[bmask], doc[bmask]
+    else:
+        bh, bdoc = hs, doc
+    bstarts = np.searchsorted(bdoc, np.arange(n))
+    bends = np.append(bstarts[1:], len(bdoc))
+    sentinel = np.full(num_hashes, _MAX_LONG, dtype=np.int64)
+    sigs = [
+        (bh[a:b, None] * a_p[None, :] + b_p[None, :]).min(axis=0).astype(np.int64)
+        if b > a
+        else sentinel
+        for a, b in zip(bstarts, bends)
+    ]
+    return embs, sigs, ths
+
+
+def make_prepare_udf(dim: int = 64, num_hashes: int = 64, hot_tokens=()):
     """One Arrow pass computing the hashing-trick embedding (over the
     full token array — a matcher feature, must match training), the
     MinHash signature (over the hot-filtered blocking tokens) — blocking
@@ -281,7 +355,12 @@ def make_prepare_udf(dim: int = 64, num_hashes: int = 64):
     instead of ~15-byte strings, and the feature UDF computes Jaccard
     with a C-speed sorted-array intersect instead of building Python
     string sets per pair (PyObject churn is memory-bandwidth-bound and
-    was the scoring stage's scaling bottleneck at high parallelism)."""
+    was the scoring stage's scaling bottleneck at high parallelism).
+
+    `hot_tokens` (the corpus-hot census list) bakes into the closure as
+    u64 hashes: the UDF takes ONLY the token array — the old two-column
+    form shipped a second, hot-filtered copy of every token string
+    through Arrow and hashed every token twice (`prepare_batch`)."""
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType(
@@ -291,21 +370,11 @@ def make_prepare_udf(dim: int = 64, num_hashes: int = 64):
             StructField("th", ArrayType(IntegerType())),
         ]
     )
+    hot_hs = hot_u64_array(hot_tokens)
 
     @F.pandas_udf(schema)
-    def _prep(tokens: pd.Series, block_tokens: pd.Series) -> pd.DataFrame:
-        embs, sigs, ths = [], [], []
-        for toks, btoks in zip(tokens, block_tokens):
-            tl = list(toks) if toks is not None else None
-            # th first, emb DERIVED from it (emb_from_th): consumers
-            # holding th can recompute emb exactly, so the scoring
-            # shuffle ships th only (see emb_from_th docstring)
-            th = th_from_tokens(tl)
-            ths.append(th)
-            embs.append(emb_from_th(th, dim))
-            sigs.append(
-                minhash_signature_py(list(btoks) if btoks is not None else None, num_hashes)
-            )
+    def _prep(tokens: pd.Series) -> pd.DataFrame:
+        embs, sigs, ths = prepare_batch(tokens, hot_hs, dim, num_hashes)
         return pd.DataFrame({"emb": embs, "sig": sigs, "th": ths})
 
     return _prep

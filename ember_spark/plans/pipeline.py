@@ -173,21 +173,21 @@ class ERPipeline:
         (two-hash) rid — the dataflow is unchanged. urls re-attach by a
         (rid, url) join at the very end (`cluster`).
 
-        `block_tokens` = tokens minus corpus-hot tokens (document
-        frequency above cfg.hot_token_df_frac). The df census is one
-        map-side-combinable groupBy; the hot set is tiny by construction
-        (at most 1/frac tokens can exceed frac of docs) and ships as a
-        broadcast literal into `array_except` — no extra join on the
-        hot path.
+        The MinHash signature is computed over the blocking token set =
+        tokens minus corpus-hot tokens (document frequency above
+        cfg.hot_token_df_frac). The df census is one map-side-combinable
+        groupBy; the hot set is tiny by construction (at most 1/frac
+        tokens can exceed frac of docs) and bakes into the prepare UDF
+        closure as u64 hashes — no extra join, no array_except column,
+        no second token-string array through Arrow.
 
         The embedding and the MinHash signature are computed in ONE
-        Arrow pass (`make_prepare_udf`): the JVM HOF min-aggregate
-        signature is interpreted per element and was blocking's worst
-        scaler; numpy affine-permutation MinHash over cached token
-        hashes is faster and leaves blocking with integer band hashing
-        only.
+        Arrow pass (`make_prepare_udf` / `prepare_batch`): the JVM HOF
+        min-aggregate signature is interpreted per element and was
+        blocking's worst scaler; numpy affine-permutation MinHash over
+        once-hashed tokens is faster and leaves blocking with integer
+        band hashing only.
         """
-        prep = make_prepare_udf(self.cfg.embedding_dim, self.cfg.num_hashes)
         # ensure_parallelism: the tokenize + one-pass prepare UDF are the
         # pipeline's dominant per-doc cost and must not inherit a narrow
         # single-file scan's partitioning (no-op when the source already
@@ -199,21 +199,23 @@ class ERPipeline:
             tokenize_auto(F.col("text"), F.col("lang")).alias("tokens"),
         )
         # census runs on the UDF-free projection — the prepare UDF must
-        # not be evaluated an extra time just to count token frequencies
+        # not be evaluated an extra time just to count token frequencies.
+        # The hot set bakes into the UDF closure as u64 hashes: no
+        # block_tokens column — the old array_except projection shipped
+        # a second copy of every token string through Arrow AND sat as
+        # dead width in the persisted/checkpointed prepared table.
         hot = self._hot_tokens(base)
-        block_toks = (
-            F.array_except(F.col("tokens"), F.lit(hot)) if hot else F.col("tokens")
+        prep = make_prepare_udf(
+            self.cfg.embedding_dim, self.cfg.num_hashes, hot_tokens=hot
         )
         return (
-            base.withColumn("block_tokens", block_toks)
-            .withColumn("_prep", prep(F.col("tokens"), F.col("block_tokens")))
+            base.withColumn("_prep", prep(F.col("tokens")))
             .select(
                 F.xxhash64("url").alias("rid"),
                 "url",
                 "text",
                 "lang",
                 "tokens",
-                "block_tokens",
                 F.col("_prep.emb").alias("emb"),
                 F.col("_prep.sig").alias("sig"),
                 F.col("_prep.th").alias("th"),

@@ -110,15 +110,13 @@ def streaming_entity_assign(
     """
     if threshold is None:
         threshold = matcher.threshold
-    prep = make_prepare_udf(embedding_dim, num_hashes)
-    block_toks = (
-        F.array_except(F.col("tokens"), F.lit(hot_tokens))
-        if hot_tokens
-        else F.col("tokens")
-    )
+    # the hot set bakes into the UDF closure (u64 hashes) — the stream
+    # side filters EXACTLY like batch prepare because it runs the same
+    # prepare_batch kernel with the same hot list
+    prep = make_prepare_udf(embedding_dim, num_hashes, hot_tokens=hot_tokens)
     s = (
         pages.withColumn("tokens", tokenize_auto(F.col("text"), F.col("lang")))
-        .withColumn("_p", prep(F.col("tokens"), block_toks))
+        .withColumn("_p", prep(F.col("tokens")))
         .select(
             F.col(ts_col).alias("ts"),
             "url",
@@ -236,12 +234,7 @@ def resolve_micro_batch(
     # assignment row out per duplicate (2 windows x 2 fresh rows = 4
     # output rows for one page), breaking one-row-per-page-per-window
     un_urls = assigned.filter(F.col("entity_id").isNull()).select("url").distinct()
-    prep = make_prepare_udf(embedding_dim, num_hashes)
-    block_toks = (
-        F.array_except(F.col("tokens"), F.lit(hot_tokens))
-        if hot_tokens
-        else F.col("tokens")
-    )
+    prep = make_prepare_udf(embedding_dim, num_hashes, hot_tokens=hot_tokens)
     # re-prepare ONLY the unassigned subset (a micro-batch is small;
     # the corpus-side join above consumed the exploded form, so the
     # compact per-page form is cheapest rebuilt than carried through)
@@ -249,7 +242,7 @@ def resolve_micro_batch(
         pages.join(un_urls, "url", "left_semi")
         .dropDuplicates(["url"])
         .withColumn("tokens", tokenize_auto(F.col("text"), F.col("lang")))
-        .withColumn("_p", prep(F.col("tokens"), block_toks))
+        .withColumn("_p", prep(F.col("tokens")))
         .select(
             "url",
             # the batch pipeline's record key: fresh entity ids must be

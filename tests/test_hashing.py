@@ -80,3 +80,62 @@ def test_hash_embedding(spark):
         assert abs(g - e) < 1e-6
     norm = sum(x * x for x in got[2])
     assert abs(norm - 1.0) < 1e-5
+
+
+def test_prepare_batch_matches_per_doc_kernels():
+    """prepare_batch (the batched Arrow kernel behind make_prepare_udf)
+    must be VALUE-IDENTICAL to the per-doc reference kernels it
+    replaced: th_from_tokens / emb_from_th / minhash_signature_py over
+    array_except-filtered tokens. Covers None, empty, all-hot,
+    duplicate and unicode docs plus a 400-doc random corpus."""
+    import random
+
+    import numpy as np
+
+    from ember_spark.functions.hashing import (
+        emb_from_th,
+        hot_u64_array,
+        minhash_signature_py,
+        prepare_batch,
+        th_from_tokens,
+    )
+
+    rng = random.Random(7)
+    vocab = (
+        [f"tok{i}" for i in range(300)]
+        + [f"热{i}" for i in range(50)]
+        + ["", "a", "éé"]
+    )
+    hot = ["tok1", "tok2", "热3", "nonexistent"]
+    hot_set = set(hot)
+    cases = [None, [], ["tok1", "tok2"], ["tok1", "tok1", "tok5", "tok5"]]
+    for _ in range(400):
+        cases.append([rng.choice(vocab) for _ in range(rng.randint(0, 120))])
+
+    def ref(tl):
+        th = th_from_tokens(list(tl) if tl is not None else None)
+        emb = emb_from_th(th, 64)
+        # array_except semantics: drop hot, dedup, first-occurrence order
+        bt = None
+        if tl is not None:
+            seen: set = set()
+            bt = [t for t in tl if t not in hot_set and not (t in seen or seen.add(t))]
+        sig = np.array(minhash_signature_py(bt, 64), dtype=np.int64)
+        return th, emb, sig
+
+    for hot_list in (hot, []):
+        hs = hot_u64_array(hot_list)
+        embs, sigs, ths = prepare_batch(cases, hs, 64, 64)
+        for i, tl in enumerate(cases):
+            if hot_list:
+                rth, remb, rsig = ref(tl)
+            else:
+                rth = th_from_tokens(list(tl) if tl is not None else None)
+                remb = emb_from_th(rth, 64)
+                rsig = np.array(
+                    minhash_signature_py(list(tl) if tl is not None else None, 64),
+                    dtype=np.int64,
+                )
+            assert ths[i].dtype == np.int32 and np.array_equal(ths[i], rth)
+            assert embs[i].dtype == np.float32 and np.array_equal(embs[i], remb)
+            assert np.array_equal(np.asarray(sigs[i]), rsig)
