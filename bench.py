@@ -173,59 +173,6 @@ def main() -> None:
     gen_sec = time.time() - t0
 
     pipe = ERPipeline(spark)
-    # CPU window == timed window: JVM startup and corpus generation are
-    # excluded from both the wall AND the core-seconds, so the
-    # cpu-normalized scaling reading compares like with like at every
-    # parallelism level (startup CPU divided by a 4x-shorter wall used
-    # to inflate the high level's apparent core usage)
-    cpu = TreeCpuSampler().start()
-    t0 = time.time()
-    prepared = pipe.prepare(docs).persist()
-    prepared.count()
-    prep_sec = time.time() - t0
-    cpu.mark("er_prepare")
-
-    # the pair table is materialized between block and score: the
-    # Arrow-feature scoring stage then runs as its own job against a
-    # narrow persisted input instead of interleaving with the blocking
-    # shuffles — measured FASTER at every parallelism level (better AQE
-    # stats + no python/JVM interleave), and it is what a production
-    # deployment checkpointing candidate pairs does anyway.
-    t0 = time.time()
-    pairs = pipe.block(prepared).persist()
-    n_pairs = pairs.count()
-    block_sec = time.time() - t0
-    cpu.mark("er_block")
-
-    t0 = time.time()
-    scored = pipe.score(pairs, prepared).persist()
-    n_scored = scored.count()
-    score_sec = time.time() - t0
-    cpu.mark("er_score")
-
-    t0 = time.time()
-    entities = pipe.cluster(scored, prepared)
-    n_entities = entities.select("entity_id").distinct().count()
-    cluster_sec = time.time() - t0
-    cpu.mark("er_cluster")
-    er_cpu_sec = cpu.stop()
-
-    er_sec = prep_sec + block_sec + score_sec + cluster_sec
-    pairs_per_sec = n_scored / (block_sec + score_sec) if block_sec + score_sec > 0 else 0.0
-    queries.update(
-        {
-            "er_generate": round(gen_sec, 3),
-            "er_prepare": round(prep_sec, 3),
-            "er_block": round(block_sec, 3),
-            "er_score": round(score_sec, 3),
-            "er_cluster": round(cluster_sec, 3),
-            "er_total": round(er_sec, 3),
-        }
-    )
-    docs.unpersist()
-    pairs.unpersist()
-    scored.unpersist()
-    prepared.unpersist()
 
     def drop_all_blocks() -> None:
         """Unpersist EVERY cached RDD, including localCheckpoint blocks
@@ -240,7 +187,101 @@ def main() -> None:
         except Exception:
             pass
 
-    drop_all_blocks()
+    def run_er_once() -> dict:
+        """One full timed ER pipeline pass. The CPU window == the timed
+        window: JVM startup and corpus generation are excluded from
+        both the wall AND the core-seconds, so the cpu-normalized
+        scaling reading compares like with like at every parallelism
+        level (startup CPU divided by a 4x-shorter wall used to inflate
+        the high level's apparent core usage)."""
+        cpu = TreeCpuSampler().start()
+        t0 = time.time()
+        prepared = pipe.prepare(docs).persist()
+        prepared.count()
+        prep_sec = time.time() - t0
+        cpu.mark("er_prepare")
+
+        # the pair table is materialized between block and score: the
+        # Arrow-feature scoring stage then runs as its own job against
+        # a narrow persisted input instead of interleaving with the
+        # blocking shuffles — measured FASTER at every parallelism
+        # level (better AQE stats + no python/JVM interleave), and it
+        # is what a production deployment checkpointing candidate
+        # pairs does anyway.
+        t0 = time.time()
+        pairs = pipe.block(prepared).persist()
+        n_pairs = pairs.count()
+        block_sec = time.time() - t0
+        cpu.mark("er_block")
+
+        t0 = time.time()
+        scored = pipe.score(pairs, prepared).persist()
+        n_scored = scored.count()
+        score_sec = time.time() - t0
+        cpu.mark("er_score")
+
+        t0 = time.time()
+        entities = pipe.cluster(scored, prepared)
+        n_entities = entities.select("entity_id").distinct().count()
+        cluster_sec = time.time() - t0
+        cpu.mark("er_cluster")
+        er_cpu_sec = cpu.stop()
+
+        pairs.unpersist()
+        scored.unpersist()
+        prepared.unpersist()
+        drop_all_blocks()
+        return {
+            "prep_sec": prep_sec,
+            "block_sec": block_sec,
+            "score_sec": score_sec,
+            "cluster_sec": cluster_sec,
+            "er_cpu_sec": er_cpu_sec,
+            "stage_cpu": cpu.marks,
+            "n_pairs": n_pairs,
+            "n_scored": n_scored,
+            "n_entities": n_entities,
+        }
+
+    # best-of-N full-pipeline trials (same estimator as the per-query
+    # best-of below): the box is a shared host with ±25% interference
+    # spikes, and a single unlucky trial has swung the recorded
+    # headline by 40% between rounds with zero code change. The trial
+    # with the minimum block+score sum — the headline denominator — is
+    # reported WHOLE (its stage walls and its CPU marks together), so
+    # the published stage breakdown stays internally consistent rather
+    # than a per-stage min over incoherent trials. The scaling-evidence
+    # harness (scripts/scaling_bench.py) keeps its own multi-trial
+    # protocol; EMBER_BENCH_ER_TRIALS=1 restores the single-shot run.
+    er_trials = max(1, int(os.environ.get("EMBER_BENCH_ER_TRIALS", "2")))
+    best = None
+    for _ in range(er_trials):
+        trial = run_er_once()
+        if best is None or (
+            trial["block_sec"] + trial["score_sec"]
+            < best["block_sec"] + best["score_sec"]
+        ):
+            best = trial
+    prep_sec, block_sec = best["prep_sec"], best["block_sec"]
+    score_sec, cluster_sec = best["score_sec"], best["cluster_sec"]
+    er_cpu_sec = best["er_cpu_sec"]
+    cpu_marks = best["stage_cpu"]
+    n_pairs, n_scored = best["n_pairs"], best["n_scored"]
+    n_entities = best["n_entities"]
+
+    er_sec = prep_sec + block_sec + score_sec + cluster_sec
+    pairs_per_sec = n_scored / (block_sec + score_sec) if block_sec + score_sec > 0 else 0.0
+    queries.update(
+        {
+            "er_generate": round(gen_sec, 3),
+            "er_prepare": round(prep_sec, 3),
+            "er_block": round(block_sec, 3),
+            "er_score": round(score_sec, 3),
+            "er_cluster": round(cluster_sec, 3),
+            "er_total": round(er_sec, 3),
+        }
+    )
+    docs.unpersist()
 
     # ---------------- headline oracle queries at sf dir ---------------------
     # best-of-N per query (min wall): the box is a shared host with
@@ -291,7 +332,7 @@ def main() -> None:
             "er_wall_sec": round(er_sec, 3),
             "er_cpu_core_sec": round(er_cpu_sec, 1),
             "er_avg_cores": round(er_cpu_sec / er_sec, 2) if er_sec > 0 else None,
-            "er_stage_cpu": cpu.marks,
+            "er_stage_cpu": cpu_marks,
         },
     }
     print(json.dumps(out))

@@ -113,6 +113,11 @@ def run_trial(cores: int, entities: int) -> dict:
     else:
         env["SPARK_GRAFT_CPUS"] = str(cores)
     env["EMBER_BENCH_ENTITIES"] = str(entities)
+    # one pipeline pass per bench invocation: THIS harness is the
+    # multi-trial protocol (checkpointed trials, per-pairing medians) —
+    # bench.py's own best-of-N would nest trials inside trials and
+    # silently halve the sweep's trial budget
+    env["EMBER_BENCH_ER_TRIALS"] = "1"
     # the scaling job profile, applied IDENTICALLY at every level:
     # - fixed shuffle width (32): the physical plan must be the same
     #   at N and 4N slots — a cluster job's shuffle width is sized to
