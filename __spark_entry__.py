@@ -312,6 +312,28 @@ def q_event_gaps(spark, sf):  # lag(): inter-event gap per user (as-of style)
     )
 
 
+def q_sessionize(spark, sf):  # §2.10 batch analog: gap-based sessionization
+    """Batch sessionization over events via the same window-gap-cumsum
+    the streaming operator's oracle uses (ember_spark/streaming/
+    sessionize.py:82). One session closes after a 3600s silence; ties on
+    ts land in the same session under the default RANGE cumsum frame in
+    both engines, so the result is order-deterministic without a
+    tiebreaker column."""
+    from ember_spark.streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    s = sessionize_batch(ev, gap_seconds=3600)
+    return s.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 def q_a5_hourly_rollup(spark, sf):  # A5: counts + derived stats per key/hour
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -776,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "window_running_sum": q_window_running_sum,
         "event_gaps": q_event_gaps,
+        "sessionize": q_sessionize,
         # scalar/text
         "x12_regex_replace": q_x12_regex_replace,
         "x3_serialize_text": q_x3_serialize_text,
@@ -937,6 +960,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f3_null_fill": """
             SELECT event_id, coalesce(props, '') AS props_filled, 1 AS label FROM events
+        """,
+        "sessionize": """
+            -- same gap-cumsum as ember_spark.streaming.sessionize_batch:
+            -- floor(epoch()) mirrors Spark's timestamp->long truncation, and
+            -- the cumulative SUM keeps its default RANGE frame so ts ties
+            -- share one session in both engines
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN floor(epoch(ts))::BIGINT
+                              - lag(floor(epoch(ts))::BIGINT, 1, 0) OVER (
+                                  PARTITION BY user_id ORDER BY ts) > 3600
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS session_id
+                FROM g
+            )
+            SELECT user_id,
+                   floor(epoch(MIN(ts)))::BIGINT AS session_start,
+                   floor(epoch(MAX(ts)))::BIGINT AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_id
         """,
         "a5_hourly_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
