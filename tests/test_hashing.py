@@ -139,3 +139,24 @@ def test_prepare_batch_matches_per_doc_kernels():
             assert ths[i].dtype == np.int32 and np.array_equal(ths[i], rth)
             assert embs[i].dtype == np.float32 and np.array_equal(embs[i], remb)
             assert np.array_equal(np.asarray(sigs[i]), rsig)
+
+
+def test_prepare_batch_rejects_null_token_element():
+    """pd.factorize codes a None element as -1; unguarded, uh[codes]
+    would gather uh[-1] — the LAST unique token's hash — silently
+    corrupting th/emb/sig. The kernel must fail loudly instead."""
+    import numpy as np
+    import pytest
+
+    from ember_spark.functions.hashing import hot_u64_array, prepare_batch
+
+    hs = hot_u64_array([])
+    with pytest.raises(ValueError, match="null element"):
+        prepare_batch([["tok1", None, "tok2"]], hs, 64, 64)
+    # all-null batch: uniq is empty, uh[-1] would raise IndexError
+    with pytest.raises(ValueError, match="null element"):
+        prepare_batch([[None]], hs, 64, 64)
+    # None/empty DOCS (not elements) stay legal
+    embs, sigs, ths = prepare_batch([None, []], hs, 64, 64)
+    assert len(ths) == 2 and ths[0].size == 0 and ths[1].size == 0
+    assert np.asarray(sigs[0]).size == 64

@@ -146,3 +146,23 @@ def test_pipeline_no_rowwise_python_udf(spark, corpus):
     scored = pipe.score(pairs, prepared)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_block_without_sig_applies_hot_filter(spark):
+    """block() on a prepared input WITHOUT a sig column (the skip-
+    prepare fallback) must apply the same corpus-hot-token exclusion
+    prepare() bakes into signatures — a universal token would otherwise
+    put every doc in one giant MinHash block (review finding r4)."""
+    from ember_spark.plans.pipeline import PipelineConfig
+
+    n = 60
+    rows = [(f"u{i:03d}", ["corp"] + [f"t{i}a", f"t{i}b", f"t{i}c"]) for i in range(n)]
+    base = spark.createDataFrame(rows, "url string, tokens array<string>")
+    cfg = PipelineConfig(use_url_key=False, hot_token_df_frac=0.5)
+    pipe = ERPipeline(spark, cfg)
+    n_pairs = pipe.block(base).count()
+    # docs share ONLY the universal token "corp": with it excluded the
+    # MinHash bands see disjoint token sets, so (almost) nothing pairs;
+    # unfiltered, every band key collides and the count explodes toward
+    # n*(n-1)/2 = 1770 (or trips the hot-block cap)
+    assert n_pairs < n
