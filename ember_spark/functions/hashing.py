@@ -315,6 +315,12 @@ def prepare_batch(
     # per-occurrence generator + dict.get loop (~64% of prepare CPU)
     if total:
         codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        if codes.min(initial=0) < 0:
+            # factorize codes None/NaN elements as -1, and uh[-1] would
+            # silently gather the LAST unique token's hash — fail loudly
+            # instead, matching the replaced per-doc kernel (which raised
+            # AttributeError on None.encode)
+            raise ValueError("prepare_batch: null element inside a tokens array")
         uh = np.fromiter(
             (_token_u64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
         )

@@ -176,12 +176,20 @@ def connected_components(
     nodes = raw.select(F.col("src").alias("id")).union(
         raw.select(F.col("dst").alias("id"))
     ).distinct()
+    def _persistent_ids() -> set:
+        try:
+            return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+        except Exception:
+            return set()
+
     # eager=False: the checkpoint materializes inside the checksum
     # action instead of spending a dedicated job per iteration — the
     # loop is driver-synchronized, so per-job latency is pure serial
     # cost that a 4x-wider cluster cannot shrink
+    ids_before_e = _persistent_ids()
     e = persist_iter(raw.filter(F.col("src") != F.col("dst")).distinct(), 0)
     prev = _checksum(e)
+    e_block_ids = _persistent_ids() - ids_before_e
 
     if checkpoint_dir is None and prev[0] <= local_threshold:
         # small-graph fast path (see docstring): the edge count is
@@ -193,6 +201,19 @@ def connected_components(
         from pyspark.sql import types as T
 
         pdf = e.toPandas()
+        # nothing below reads `e` again (the result references only the
+        # collected pdf and nodes -> raw), so free its checkpoint blocks
+        # now — a long-running stream calls this per micro-batch, and the
+        # dead edge-set blocks would otherwise accumulate for the session
+        # lifetime (the distributed path's final iteration IS the result,
+        # so it has no equivalent release point)
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid_ in e_block_ids:
+                if rid_ in jmap:
+                    jmap[rid_].unpersist()
+        except Exception:
+            pass
         parent: dict = {}
 
         def find(x):

@@ -267,13 +267,20 @@ class ERPipeline:
         keys = [url_path_key(F.col("url"))] if self.cfg.use_url_key else []
         has_sig = "sig" in prepared.columns
         id_col = "rid" if "rid" in prepared.columns else "url"
-        tokens_col = (
-            "block_tokens" if "block_tokens" in prepared.columns else "tokens"
-        )
+        if not has_sig:
+            # fallback for a prepared input that skipped prepare(): the
+            # MinHash here must see the same hot-token exclusion the
+            # prepare() signature bakes in, or corpus-hot tokens recreate
+            # exactly the giant-block blowup the census exists to prevent
+            hot = self._hot_tokens(prepared)
+            if hot:
+                prepared = prepared.withColumn(
+                    "tokens", F.array_except(F.col("tokens"), F.array(*[F.lit(t) for t in hot]))
+                )
         return candidate_pairs(
             prepared,
             id_col=id_col,
-            tokens_col=None if has_sig else tokens_col,
+            tokens_col=None if has_sig else "tokens",
             exact_key_exprs=keys,
             num_hashes=self.cfg.num_hashes,
             bands=self.cfg.bands,
