@@ -774,8 +774,78 @@ def q_er_pipeline_entities(spark, sf):
     )
 
 
+def _fixture_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures"
+    )
+
+
+def q_s1_csv_multidelim(spark, sf):
+    """S1: multi-char-delimiter CSV scan (the reference's raw corpus
+    dump is `@;@`-separated, `build_ali_corpus.py:16-22`; Spark's csv
+    source is single-char, so `read_csv_multichar_delim` = text scan +
+    one split). Reads a committed fixture file (the op needs a FILE,
+    not a pre-registered table — `sf` is unused); the oracle re-parses
+    the same file in DuckDB via split_part over raw lines. Fields
+    containing lone '@'/';' chars prove multi-char semantics."""
+    from ember_spark.sources.readers import read_csv_multichar_delim
+
+    cols = ["id", "title", "pict_url", "cate_name", "cluster_id"]
+    df = read_csv_multichar_delim(
+        spark, f"{_fixture_dir()}/s1_ali_sample.txt", "@;@", cols
+    )
+    return df.select(
+        F.col("id").cast("int").alias("id"),
+        "title",
+        "cate_name",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+    )
+
+
+def q_s4_jsonl_scan(spark, sf):
+    """S4: gzip JSON-lines scan with explicit schema + dropped nested
+    column (`wdcdatamodule.py:79` reads train.json.gz with pair
+    columns and removes the identifier structs). The nested
+    `identifiers` column is dropped AT THE SOURCE (Catalyst prunes it
+    out of the JSON parse)."""
+    from ember_spark.sources.readers import read_jsonl
+
+    schema = (
+        "pair_id string, title_left string, title_right string,"
+        " label int, identifiers struct<gtin: array<string>, mpn: string>"
+    )
+    return read_jsonl(
+        spark,
+        f"{_fixture_dir()}/s4_pairs.jsonl.gz",
+        schema=schema,
+        drop_columns=["identifiers"],
+    )
+
+
+def q_s6_binary_listing(spark, sf):
+    """S6: directory listing as a table via the binaryFile source (the
+    image-manifest glob of `build_ali_corpus.py:23`): one row per file
+    with name, byte length, and the full content (hex — checkable
+    cross-engine; modificationTime excluded as non-deterministic)."""
+    from ember_spark.sources.readers import read_binary_files
+
+    df = read_binary_files(spark, f"{_fixture_dir()}/s6_blobs", "*.bin")
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("size_bytes"),
+        F.hex(F.col("content")).alias("content_hex"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # file-based sources (committed fixtures — the ops need FILES,
+        # not pre-registered tables; oracles re-parse the same files)
+        "s1_csv_multidelim": q_s1_csv_multidelim,
+        "s4_jsonl_scan": q_s4_jsonl_scan,
+        "s6_binary_listing": q_s6_binary_listing,
         # relational core
         "a1_groupby_count": q_a1_groupby_count,
         "tpch_q1": q_tpch_q1,
@@ -834,7 +904,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # =====================================================================
 def oracle_sql() -> dict[str, str]:
     toks = _DUCK_TOKS.format(c="text")
+    fx = _fixture_dir()
     sqls = {
+        # DuckDB's csv delim is single-byte, so the oracle parses the
+        # multi-char-delimited lines the same way the Spark reader does:
+        # raw line scan + split. split_part is 1-indexed.
+        "s1_csv_multidelim": f"""
+            SELECT split_part(line, '@;@', 1)::INT AS id,
+                   split_part(line, '@;@', 2) AS title,
+                   split_part(line, '@;@', 4) AS cate_name,
+                   split_part(line, '@;@', 5)::INT AS cluster_id
+            FROM read_csv('{fx}/s1_ali_sample.txt', delim=chr(1),
+                          header=false, quote='', columns={{'line': 'VARCHAR'}})
+        """,
+        "s4_jsonl_scan": f"""
+            SELECT pair_id, title_left, title_right, label::INT AS label
+            FROM read_json('{fx}/s4_pairs.jsonl.gz',
+                           format='newline_delimited')
+        """,
+        "s6_binary_listing": f"""
+            SELECT parse_filename(filename) AS file_name,
+                   size AS size_bytes,
+                   upper(hex(content)) AS content_hex
+            FROM read_blob('{fx}/s6_blobs/*.bin')
+        """,
         "a1_groupby_count": """
             SELECT l_returnflag, l_linestatus, count(*) AS n
             FROM lineitem GROUP BY 1, 2

@@ -283,7 +283,11 @@ def hot_u64_array(hot_tokens) -> np.ndarray:
 
 
 def prepare_batch(
-    token_lists, hot_u64: np.ndarray, dim: int = 64, num_hashes: int = 64
+    token_lists,
+    hot_u64: np.ndarray,
+    dim: int = 64,
+    num_hashes: int = 64,
+    include_emb: bool = True,
 ):
     """Batch-vectorized prepare kernel over a whole Arrow batch:
     hashes every token ONCE (one flat pass — the per-doc
@@ -341,7 +345,12 @@ def prepare_batch(
     ends = np.append(starts[1:], len(d_u))
     ths = [h_u[a:b] for a, b in zip(starts, ends)]
 
-    embs = [emb_from_th(t, dim) for t in ths]
+    # emb is a pure function of th (emb_from_th): consumers that only
+    # ever read th — the arrow-mode pipeline, the streaming assigner —
+    # skip computing AND shipping it (include_emb=False): dim*4 bytes
+    # per doc less through Arrow and out of the persisted prepared
+    # table, plus one fewer per-doc python pass in this kernel
+    embs = [emb_from_th(t, dim) for t in ths] if include_emb else None
 
     # ---- sig: MinHash over hot-filtered hashes, per-doc C slices
     a_p, b_p = _minhash_params(num_hashes)
@@ -362,7 +371,9 @@ def prepare_batch(
     return embs, sigs, ths
 
 
-def make_prepare_udf(dim: int = 64, num_hashes: int = 64, hot_tokens=()):
+def make_prepare_udf(
+    dim: int = 64, num_hashes: int = 64, hot_tokens=(), include_emb: bool = True
+):
     """One Arrow pass computing the hashing-trick embedding (over the
     full token array — a matcher feature, must match training), the
     MinHash signature (over the hot-filtered blocking tokens) — blocking
@@ -381,19 +392,24 @@ def make_prepare_udf(dim: int = 64, num_hashes: int = 64, hot_tokens=()):
     through Arrow and hashed every token twice (`prepare_batch`)."""
     from pyspark.sql.types import StructField, StructType
 
-    schema = StructType(
-        [
-            StructField("emb", ArrayType(FloatType())),
-            StructField("sig", ArrayType(LongType())),
-            StructField("th", ArrayType(IntegerType())),
-        ]
-    )
+    fields = [
+        StructField("sig", ArrayType(LongType())),
+        StructField("th", ArrayType(IntegerType())),
+    ]
+    if include_emb:
+        fields.insert(0, StructField("emb", ArrayType(FloatType())))
+    schema = StructType(fields)
     hot_hs = hot_u64_array(hot_tokens)
 
     @F.pandas_udf(schema)
     def _prep(tokens: pd.Series) -> pd.DataFrame:
-        embs, sigs, ths = prepare_batch(tokens, hot_hs, dim, num_hashes)
-        return pd.DataFrame({"emb": embs, "sig": sigs, "th": ths})
+        embs, sigs, ths = prepare_batch(
+            tokens, hot_hs, dim, num_hashes, include_emb=include_emb
+        )
+        out = {"sig": sigs, "th": ths}
+        if include_emb:
+            out = {"emb": embs, **out}
+        return pd.DataFrame(out)
 
     return _prep
 

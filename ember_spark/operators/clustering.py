@@ -176,20 +176,24 @@ def connected_components(
     nodes = raw.select(F.col("src").alias("id")).union(
         raw.select(F.col("dst").alias("id"))
     ).distinct()
-    def _persistent_ids() -> set:
+    def _checkpoint_rdd_id(df: DataFrame) -> int | None:
+        """The id of the RDD a localCheckpoint'd DataFrame persists:
+        its analyzed plan is a LogicalRDD wrapping exactly that RDD.
+        Capturing it directly (instead of diffing the global persistent-
+        RDD map before/after) means a concurrent thread persisting an
+        unrelated RDD — e.g. a streaming micro-batch — can never be
+        swept up and unpersisted by the local fast path below."""
         try:
-            return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+            return df._jdf.queryExecution().analyzed().rdd().id()
         except Exception:
-            return set()
+            return None
 
     # eager=False: the checkpoint materializes inside the checksum
     # action instead of spending a dedicated job per iteration — the
     # loop is driver-synchronized, so per-job latency is pure serial
     # cost that a 4x-wider cluster cannot shrink
-    ids_before_e = _persistent_ids()
     e = persist_iter(raw.filter(F.col("src") != F.col("dst")).distinct(), 0)
     prev = _checksum(e)
-    e_block_ids = _persistent_ids() - ids_before_e
 
     if checkpoint_dir is None and prev[0] <= local_threshold:
         # small-graph fast path (see docstring): the edge count is
@@ -208,10 +212,10 @@ def connected_components(
         # lifetime (the distributed path's final iteration IS the result,
         # so it has no equivalent release point)
         try:
+            eid = _checkpoint_rdd_id(e)
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for rid_ in e_block_ids:
-                if rid_ in jmap:
-                    jmap[rid_].unpersist()
+            if eid is not None and eid in jmap:
+                jmap[eid].unpersist()
         except Exception:
             pass
         parent: dict = {}

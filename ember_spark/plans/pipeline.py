@@ -78,6 +78,20 @@ class PipelineConfig:
     # up candidate counts quadratically. Features still see all tokens.
     hot_token_df_frac: float = 0.05
     hot_token_max: int = 2000  # safety cap on the broadcast literal
+    # the census tokenizes its input — over the FULL corpus that is a
+    # second complete tokenize pass before prepare's own (profiled at
+    # ~50% of the whole prepare stage). Corpora larger than this many
+    # docs census a deterministic hash-sample of ~this size instead:
+    # a df-fraction estimate from >=250k docs has std <= 0.1% absolute
+    # (sqrt(p(1-p)/n) at p=0.05), so only tokens within ~0.3% of the
+    # threshold can flip — and the hot set is a blocking-perf guard,
+    # not a correctness contract (features see all tokens; candidate
+    # recall is backstopped by the exact keys + transitive closure).
+    # At 10^12 docs an exact stopword census is not a sane plan; the
+    # sample IS the production design. 0 restores the exact census.
+    # Deterministic (xxhash64 of the record key), so blocking remains
+    # reproducible run-to-run and batch/streaming stay consistent.
+    hot_token_census_docs: int = 250_000
     # broadcasting the corpus payload into the pair join looks tempting,
     # but the broadcast relation build is driver-single-threaded (a
     # fixed serial cost that swamps small/medium runs) and at web scale
@@ -161,8 +175,21 @@ class ERPipeline:
         text = F.col("text") if "text" in cols else extract_text_from_html(F.col("html"))
         return pages.select(F.col("url"), text.alias("text"), F.col("lang"))
 
-    def prepare(self, docs: DataFrame) -> DataFrame:
+    def prepare(self, docs: DataFrame, slim: bool | None = None) -> DataFrame:
         """tokens + hashing-trick embedding + blocking token set + rid.
+
+        `slim` (default: True exactly when `feature_mode == "arrow"`):
+        omit the `tokens` and `emb` columns from the output. In arrow
+        mode NOTHING downstream reads them — scoring ships `th` and
+        recomputes the embedding from it (emb_from_th), blocking reads
+        `sig` — yet they were the WIDEST columns of the persisted/
+        checkpointed prepared table (a ~40-element string array plus
+        dim*4 bytes per doc): materializing them was pure memory-
+        bandwidth tax on the stage profiled as the pipeline's worst
+        wide-parallelism scaler. The slim kernel also skips computing
+        the embedding per batch. Pass slim=False to keep the full
+        schema (required by the JVM feature modes — score() raises if
+        given a slim table in those modes).
 
         `rid` is a 64-bit hash of the url used as the record key through
         blocking/scoring/clustering: every downstream shuffle, sort and
@@ -204,23 +231,31 @@ class ERPipeline:
         # block_tokens column — the old array_except projection shipped
         # a second copy of every token string through Arrow AND sat as
         # dead width in the persisted/checkpointed prepared table.
+        if slim is None:
+            slim = self.cfg.feature_mode == "arrow"
         hot = self._hot_tokens(base)
         prep = make_prepare_udf(
-            self.cfg.embedding_dim, self.cfg.num_hashes, hot_tokens=hot
+            self.cfg.embedding_dim,
+            self.cfg.num_hashes,
+            hot_tokens=hot,
+            include_emb=not slim,
         )
-        return (
-            base.withColumn("_prep", prep(F.col("tokens")))
-            .select(
-                F.xxhash64("url").alias("rid"),
-                "url",
-                "text",
-                "lang",
-                "tokens",
-                F.col("_prep.emb").alias("emb"),
-                F.col("_prep.sig").alias("sig"),
-                F.col("_prep.th").alias("th"),
-            )
-        )
+        cols = [
+            F.xxhash64("url").alias("rid"),
+            "url",
+            "text",
+            "lang",
+        ]
+        if not slim:
+            cols.append(F.col("tokens"))
+        out = base.withColumn("_prep", prep(F.col("tokens")))
+        if not slim:
+            cols.append(F.col("_prep.emb").alias("emb"))
+        cols += [
+            F.col("_prep.sig").alias("sig"),
+            F.col("_prep.th").alias("th"),
+        ]
+        return out.select(*cols)
 
     def hot_token_list(self, docs: DataFrame) -> list[str]:
         """The corpus-hot tokens `prepare` removes from the blocking
@@ -235,8 +270,22 @@ class ERPipeline:
     def _hot_tokens(self, base: DataFrame) -> list[str]:
         if not self.cfg.hot_token_df_frac:
             return []
-        # ONE job computes the doc count AND the df census: a null
-        # marker element is prepended to every doc's distinct-token
+        target = self.cfg.hot_token_census_docs
+        if target:
+            # adaptive hash-sample (see PipelineConfig.hot_token_census_docs):
+            # the row count comes from a narrow no-tokenize scan (the
+            # tokens projection prunes away under count()); corpora at
+            # or below the target keep the exact census — every test
+            # corpus does, so small-scale behavior is unchanged.
+            key = "url" if "url" in base.columns else base.columns[0]
+            n = base.select(key).count()
+            if n > target:
+                k = max(int(n // target), 1)
+                base = base.filter(
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(k)) == 0
+                )
+        # ONE job computes the (sampled) doc count AND the df census: a
+        # null marker element is prepended to every doc's distinct-token
         # array, so the null group's count is exactly n_docs — the
         # separate count() pass (a full extra tokenize scan) is gone.
         census = (
@@ -264,6 +313,16 @@ class ERPipeline:
         return [r["tok"] for r in top if r["tok"] is not None and r["df"] >= min_df]
 
     def block(self, prepared: DataFrame) -> DataFrame:
+        """Candidate pairs from a prepared table.
+
+        Contract note (round 4 change): a legacy `block_tokens` column
+        on a no-sig input is NO LONGER honored — the hot-token census
+        runs on `tokens` directly and the exclusion bakes into the
+        MinHash. Nothing in-repo produces `block_tokens` anymore; an
+        external caller that pre-filtered into it should pass the
+        filtered array AS `tokens` (raising here would break legitimate
+        inputs that happen to carry an unrelated column of that name).
+        """
         keys = [url_path_key(F.col("url"))] if self.cfg.use_url_key else []
         has_sig = "sig" in prepared.columns
         id_col = "rid" if "rid" in prepared.columns else "url"
@@ -306,6 +365,12 @@ class ERPipeline:
         # intersect in the UDF); the JVM feature modes need the strings
         use_th = self.cfg.feature_mode == "arrow" and "th" in prepared.columns
         tok_col = "th" if use_th else "tokens"
+        if tok_col == "tokens" and "tokens" not in prepared.columns:
+            raise ValueError(
+                "score() needs 'th' or 'tokens' on the prepared table;"
+                " this one has neither (a slim table with th dropped?)."
+                " Re-run prepare(docs, slim=False) or keep 'th'."
+            )
         # arrow mode never ships the embedding: f_cos is recomputed
         # from `th` inside the feature UDF (emb_from_th — the embedding
         # is a pure function of th), cutting ~dim*4 bytes per side off
@@ -322,6 +387,14 @@ class ERPipeline:
         # appending it would push dead dim*4 bytes per side through the
         # widest shuffle of the job
         if self.cfg.feature_mode != "arrow":
+            missing = {"emb", "tokens"} - set(prepared.columns)
+            if missing:
+                raise ValueError(
+                    f"feature_mode={self.cfg.feature_mode!r} needs the"
+                    f" {sorted(missing)} column(s), but this prepared table"
+                    " was built slim (prepare(slim=True) — the arrow-mode"
+                    " default). Re-run prepare(docs, slim=False)."
+                )
             slim_cols.append(F.col("emb"))
             payload_cols.append("emb")
         slim = prepared.select(id_col, *slim_cols)
@@ -530,7 +603,7 @@ class ERPipeline:
             f"c{self.cfg.block_cap}d{self.cfg.embedding_dim}m{model_fp}"
             f"u{int(self.cfg.use_url_key)}t{self.cfg.hot_token_df_frac}"
             f"x{self.cfg.hot_token_max}f{self.cfg.feature_mode}"
-            f"k{int(self.cfg.use_cascade)}"
+            f"k{int(self.cfg.use_cascade)}s{self.cfg.hot_token_census_docs}"
         )
         if input_fp is None:
             try:

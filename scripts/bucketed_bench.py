@@ -38,7 +38,7 @@ def main() -> None:
     docs = pages.select("url", "text", "lang").persist()
     docs.count()
     pipe = ERPipeline(spark)
-    prepared = pipe.prepare(docs).persist()
+    prepared = pipe.prepare(docs, slim=False).persist()
     prepared.count()
     pairs = pipe.block(prepared).persist()
     n_pairs = pairs.count()

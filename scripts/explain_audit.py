@@ -107,6 +107,20 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    # sessionize: ONE shuffle on user_id feeds both windows (lag +
+    # gap-cumsum share the partitioning) and the groupBy reuses it —
+    # a second Exchange would mean the session assembly re-shuffles
+    # 10^12 events for no reason
+    p = plan_of(qs["sessionize"](spark, SF))
+    n_exchange = sum(
+        1 for ln in p.splitlines() if "Exchange" in ln and "Reused" not in ln
+    )
+    ok &= check(
+        "sessionize_single_shuffle",
+        n_exchange == 1 and "hashpartitioning(user_id" in p,
+        f"(exchanges={n_exchange})",
+    )
+
     print("ALL OK" if ok else "AUDIT FAILURES")
     return 0 if ok else 1
 

@@ -19,7 +19,7 @@ def main(sf_dir="/root/testdata/sf0.01"):
         "lang",
     )
     pipe = ERPipeline(spark)
-    prepared = pipe.prepare(docs).persist()
+    prepared = pipe.prepare(docs, slim=False).persist()
     n = prepared.count()
     print(f"docs: {n}")
     pairs = pipe.block(prepared)

@@ -18,7 +18,7 @@ def main(sf_dir="/root/testdata/sf0.01"):
         "lang",
     )
     pipe = ERPipeline(spark)
-    prepared = pipe.prepare(docs).persist()
+    prepared = pipe.prepare(docs, slim=False).persist()
     pairs = pipe.block(prepared)
     toks = prepared.select("rid", F.array_distinct("tokens").alias("tk"))
     j = (

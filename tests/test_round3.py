@@ -348,7 +348,9 @@ def test_er_pipeline_oracle_assumptions_sf0001(spark):
         "lang",
     )
     pipe = ERPipeline(spark)
-    prepared = pipe.prepare(docs).persist()
+    # slim=False: this test reads raw tokens back for its brute-force
+    # jaccard verification (the pipeline itself runs slim in arrow mode)
+    prepared = pipe.prepare(docs, slim=False).persist()
     n = prepared.count()
     pairs = pipe.block(prepared)
     assert pairs.count() == n * (n - 1) // 2  # recall exactly 1

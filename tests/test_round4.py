@@ -91,7 +91,9 @@ def test_arrow_mode_never_ships_embedding(spark):
         ],
         "url string, text string, lang string",
     )
-    prepared = pipe.prepare(docs)
+    # slim=False: the arrow-without-th corner needs the tokens column
+    # (a slim table carries neither tokens nor emb by design)
+    prepared = pipe.prepare(docs, slim=False)
     pairs = pipe.block(prepared)
     # drop th AND emb: the arrow-without-th corner must not reference
     # emb at all (pre-fix code appended it to the pair payload and this
