@@ -75,6 +75,8 @@ def connected_components(
     input_fp: str | None = None,
     cleanup: bool = True,
     local_threshold: int = 500_000,
+    assume_distinct: bool = False,
+    members_only: bool = False,
 ) -> DataFrame:
     """Compute connected components of an undirected edge list.
 
@@ -83,6 +85,21 @@ def connected_components(
     (including self-loop-only nodes; callers union in never-paired
     singletons themselves). Node id column type must be orderable
     (long or string).
+
+    `members_only`: emit rows ONLY for nodes of non-self-loop edges —
+    exactly the ids whose component differs from themselves plus the
+    roots' members. A caller that re-attaches components to a full id
+    table with a LEFT join + coalesce(component, id) (the pipeline's
+    cluster stage) reconstructs every omitted self-mapping for free,
+    so the nodes-distinct shuffle, the selfmap union and the input
+    re-checkpoint this flag skips were pure overhead for that shape.
+    Default False keeps the full contract (self-loop-only nodes map to
+    themselves).
+
+    `assume_distinct`: skip iteration 0's dedup shuffle when the edge
+    list is distinct by construction (duplicates would only cost time,
+    not correctness — star rounds are multiplicity-idempotent — but
+    the iteration-0 checksum and local-path gate count raw rows).
 
     `checkpoint_dir`: per-iteration edge sets are written to reliable
     storage (parquet under this path) instead of localCheckpoint —
@@ -169,13 +186,15 @@ def connected_components(
     # truncate the INPUT lineage once: `nodes` (read in the final
     # assembly action) and the iteration-0 edge set both derive from
     # this checkpoint — without it each reference re-executes the whole
-    # upstream pipeline (blocking + scoring) once more
-    raw = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
-    nodes = raw.select(F.col("src").alias("id")).union(
-        raw.select(F.col("dst").alias("id"))
-    ).distinct()
+    # upstream pipeline (blocking + scoring) once more. members_only
+    # has a single consumer (iteration 0, itself checkpointed), so the
+    # extra checkpoint of the same rows is skipped there.
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not members_only:
+        raw = raw.localCheckpoint(eager=False)
+        nodes = raw.select(F.col("src").alias("id")).union(
+            raw.select(F.col("dst").alias("id"))
+        ).distinct()
     def _checkpoint_rdd_id(df: DataFrame) -> int | None:
         """The id of the RDD a localCheckpoint'd DataFrame persists:
         its analyzed plan is a LogicalRDD wrapping exactly that RDD.
@@ -192,7 +211,16 @@ def connected_components(
     # action instead of spending a dedicated job per iteration — the
     # loop is driver-synchronized, so per-job latency is pure serial
     # cost that a 4x-wider cluster cannot shrink
-    e = persist_iter(raw.filter(F.col("src") != F.col("dst")).distinct(), 0)
+    # assume_distinct: callers whose edge list is distinct BY
+    # CONSTRUCTION (the pipeline's scored pairs are canonical id_l <
+    # id_r, dedup'd at blocking) skip iteration 0's full dedup shuffle
+    # of the edge table. Duplicate edges would not change the result
+    # (star rounds are idempotent over multiplicity) — only iteration
+    # cost — so this is a pure plan knob, but the default stays safe.
+    e0 = raw.filter(F.col("src") != F.col("dst"))
+    if not assume_distinct:
+        e0 = e0.distinct()
+    e = persist_iter(e0, 0)
     prev = _checksum(e)
 
     if checkpoint_dir is None and prev[0] <= local_threshold:
@@ -250,6 +278,11 @@ def connected_components(
                 ]
             ),
         )
+        if members_only:
+            # `ids` covers every node of every non-self-loop edge, and
+            # find() maps each to its component min — exactly the
+            # members_only contract, no cluster-side assembly needed
+            return members
         # same final assembly as the distributed path: self-loop-only
         # nodes appear in `nodes` but not in `e` and map to themselves
         selfmap = nodes.withColumn("component", F.col("id"))
@@ -299,5 +332,13 @@ def connected_components(
     # fixpoint edge set is a star forest: src -> root(dst); nodes never
     # emitted (roots, self-loop-only, isolated-in-input) map to themselves
     members = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    if members_only:
+        # the groupBy stays even here: it is the safety net should a
+        # checksum-equal state ever carry a node under two components
+        # (never observed; the Kiveris fixpoint is a star forest) —
+        # what members_only skips is the nodes-distinct shuffle, the
+        # selfmap union, and the raw checkpoint, the costs that exist
+        # only to emit rows the caller's own left join reconstructs.
+        return members.groupBy("id").agg(F.min("component").alias("component"))
     selfmap = nodes.withColumn("component", F.col("id"))
     return members.union(selfmap).groupBy("id").agg(F.min("component").alias("component"))

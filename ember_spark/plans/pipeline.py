@@ -501,21 +501,25 @@ class ERPipeline:
 
     def cluster(self, scored: DataFrame, prepared: DataFrame) -> DataFrame:
         edges = scored.filter(F.col("prediction") == 1).select("id_l", "id_r")
-        comp = connected_components(edges, "id_l", "id_r")
-        id_col = "rid" if "rid" in prepared.columns else "url"
-        all_ids = prepared.select(F.col(id_col).alias("id"))
-        singles = all_ids.join(comp, "id", "left_anti").withColumn(
-            "component", F.col("id")
+        # assume_distinct: scored pairs are canonical (id_l < id_r) and
+        # dedup'd at blocking — CC skips its iteration-0 dedup shuffle.
+        # members_only: the left join below reconstructs every
+        # self-mapping, so CC skips its nodes/selfmap assembly shuffles.
+        comp = connected_components(
+            edges, "id_l", "id_r", assume_distinct=True, members_only=True
         )
-        ents = comp.unionByName(singles)
-        if id_col == "rid":
-            # map the long rid back to the url exactly once, at the end
-            urls = prepared.select(F.col("rid").alias("id"), "url")
-            return ents.join(urls, "id").select(
-                "url", F.col("component").alias("entity_id")
-            )
-        return ents.select(
-            F.col("id").alias("url"), F.col("component").alias("entity_id")
+        id_col = "rid" if "rid" in prepared.columns else "url"
+        # ONE left join from the full id set: a matched id takes its
+        # component, an unmatched id (never-paired singleton) maps to
+        # itself — value-identical to the former anti-join + union +
+        # url-re-attach join, two fewer shuffled operators on the
+        # widest table of the stage (every doc id flows through here)
+        base = prepared.select(
+            F.col(id_col).alias("id"),
+            F.col("url") if id_col == "rid" else F.col(id_col).alias("url"),
+        )
+        return base.join(comp, "id", "left").select(
+            "url", F.coalesce(F.col("component"), F.col("id")).alias("entity_id")
         )
 
     # ------------------------------------------------------------- runs
