@@ -371,7 +371,11 @@ def split_clusters(
     # row_number window would funnel EVERY cluster through one task.
     # Only the selected n_main+n_extra rows (a few hundred) then pass
     # through the single-partition ranking window, which reproduces the
-    # same total order, so the main/extra labels are identical.
+    # same total order, so the main/extra labels are identical. This is
+    # the one site that emits Spark's "WindowExec: No Partition Defined"
+    # warning — expected and bounded: the window's input is capped at
+    # n_main+n_extra rows by the limit() above, so the single partition
+    # holds a few hundred rows at ANY corpus scale, never the corpus.
     selected = sizes.orderBy(
         _md5_order(seed, "cluster_id").asc(), F.col("cluster_id").asc()
     ).limit(n_main + n_extra)

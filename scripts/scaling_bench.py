@@ -25,12 +25,15 @@ taken per level — the box is a shared host with ±15-30% run-to-run
 interference, and the minimum approximates the uncontended cost,
 applied identically to every level.
 
-Usage: python scripts/scaling_bench.py [entities[,entities2,...]] [levels...]
+Usage: python scripts/scaling_bench.py ENT[:lvl:lvl...][,ENT2[:...]] [levels...]
        (defaults: 400000 entities, levels 2 8; EMBER_SCALING_TRIALS=3).
        A comma-separated entity list runs one sweep per input size and
        publishes ONE combined BENCH.md section — the round-5 gate
        criterion requires the 1->4 window at BOTH 400k and 800k on the
-       same HEAD (see BASELINE.md "gate input-sizing rule").
+       same HEAD (see BASELINE.md "gate input-sizing rule"). Per-input
+       level lists (e.g. `400000:1:2:4:8:32,800000:1:4`) let the small
+       input carry the wide-window table while the large input runs
+       only the gate window.
 Executor-JVM mode: EMBER_SCALING_MODE=executors runs each level as
 local-cluster[N,1,...] (N single-core executor processes).
 Writes its section of BENCH.md between scaling markers (other
@@ -453,9 +456,20 @@ def sweep_md(out: dict, results: dict) -> str:
 
 
 def main() -> None:
+    # ENT[:lvl:lvl...][,ENT2[:...]] — per-input level lists, so the
+    # combined publication can run the full five-level table at the
+    # small input while the large input runs only the gate window
+    # (five levels at 800k is ~2h of measurement for windows the 400k
+    # table already evidences). Entries without an explicit list use
+    # the positional levels (default 2 8).
     ent_arg = sys.argv[1] if len(sys.argv) > 1 else "400000"
-    entity_list = [int(x) for x in ent_arg.split(",")]
-    levels = [int(x) for x in sys.argv[2:]] or [2, 8]
+    default_levels = [int(x) for x in sys.argv[2:]] or [2, 8]
+    plan: list[tuple[int, list[int]]] = []
+    for spec in ent_arg.split(","):
+        parts = spec.split(":")
+        plan.append(
+            (int(parts[0]), [int(x) for x in parts[1:]] or default_levels)
+        )
     trials = int(os.environ.get("EMBER_SCALING_TRIALS", "3"))
 
     mode = os.environ.get("EMBER_SCALING_MODE", "threads")
@@ -518,7 +532,7 @@ Two efficiency readings, both reported:
   minimum approximates the uncontended cost — the same estimator
   best-of-N applies to wall time).
 """
-    for entities in entity_list:
+    for entities, levels in plan:
         out, results = sweep(entities, sorted(levels), trials)
         md += sweep_md(out, results)
     md += (
@@ -541,8 +555,8 @@ Two efficiency readings, both reported:
         " lifted this control from 0.83 with the scalar-JW kernel) —"
         " the dataflow has no serial bottleneck.\n\n"
         "Reproduce: `python scripts/scaling_bench.py"
-        " [entities[,entities2]] [levels...]` (exclusive box;"
-        " EMBER_SCALING_TRIALS sets trials).\n"
+        " ENT[:lvl:lvl...][,ENT2[:...]] [default levels...]`"
+        " (exclusive box; EMBER_SCALING_TRIALS sets trials).\n"
     )
     update_section("scaling", md)
     print("updated BENCH.md [scaling] section")
