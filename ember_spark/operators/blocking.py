@@ -220,6 +220,39 @@ def hot_pair_key_fracs(pairs: DataFrame) -> dict[str, float]:
     return {r["s"]: (r["mx"] / r["n"] if r["n"] else 0.0) for r in rows}
 
 
+def hot_pair_keys(
+    pairs: DataFrame, trigger_frac: float, n_pairs: int | None = None
+) -> dict[str, list]:
+    """One-job census of every id holding >= trigger_frac of the pairs
+    on its side: {'id_l': [keys...], 'id_r': [keys...]}. The result is
+    bounded by construction — at most 1/trigger_frac keys per side —
+    so the collect is a handful of rows at any corpus scale. `n_pairs`
+    skips the count() when the caller already knows it (the pipeline's
+    pair table is persisted and counted at the block barrier)."""
+    n = pairs.count() if n_pairs is None else n_pairs
+    out: dict[str, list] = {"id_l": [], "id_r": []}
+    if n == 0 or trigger_frac <= 0:
+        return out
+    thresh = trigger_frac * n
+    rows = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("id_l").alias("s"), F.col("id_l").alias("k")),
+                    F.struct(F.lit("id_r").alias("s"), F.col("id_r").alias("k")),
+                )
+            ).alias("x")
+        )
+        .groupBy("x.s", "x.k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= F.lit(thresh))
+        .collect()
+    )
+    for r in rows:
+        out[r["s"]].append(r["k"])
+    return out
+
+
 def attach_pair_payload(
     pairs: DataFrame,
     df: DataFrame,
@@ -229,6 +262,7 @@ def attach_pair_payload(
     broadcast_max_rows: int = 2_000_000,
     salt: int = 0,
     salt_trigger_frac: float = 0.0,
+    salt_hot_keys: dict[str, list] | None = None,
 ) -> DataFrame:
     """Join each side's payload columns onto canonical pairs with
     _l/_r suffixes.
@@ -247,10 +281,12 @@ def attach_pair_payload(
     cost model: every pair row must survive, so `cap_hot_blocks` does
     not apply, and AQE cannot split a shuffled-hash join's single
     hottest task). With `salt_trigger_frac > 0` a one-job census
-    (`hot_pair_key_fracs`) first measures each side's hottest id and
-    salts ONLY sides whose hottest key exceeds that fraction of pairs
-    — uniform keys keep the plain join and pay nothing beyond the
-    census; `salt_trigger_frac == 0` salts both sides unconditionally.
+    (`hot_pair_keys`) first NAMES each side's hub ids (every id holding
+    >= that fraction of pairs — a bounded list) and salts ONLY the rows
+    carrying one, replicating ONLY the hubs' payload rows
+    (`skew.salted_join_hot`); uniform keys keep the plain join and pay
+    nothing beyond the census. `salt_trigger_frac == 0` replicates the
+    whole payload side `salt` ways on both joins unconditionally.
     The salt is derived from the OTHER side's id, so a hot id_l's pairs
     spread by their id_r (deterministic, resumable).
     """
@@ -264,24 +300,36 @@ def attach_pair_payload(
     if broadcast_payload:
         # a broadcast join has no reducer to skew — salting is moot
         return pairs.join(F.broadcast(left), "id_l").join(F.broadcast(right), "id_r")
-    salt_sides = {"id_l": salt > 1, "id_r": salt > 1}
-    if salt > 1 and salt_trigger_frac > 0:
-        # an EMPTY pair table yields no census rows: keep the plain
-        # joins (nothing to skew) instead of KeyError-ing on the side
-        # lookup below
-        fracs = hot_pair_key_fracs(pairs)
-        salt_sides = {
-            k: fracs.get(k, 0.0) >= salt_trigger_frac for k in salt_sides
-        }
-    from ember_spark.operators.skew import salted_join
+    from ember_spark.operators.skew import salted_join, salted_join_hot
 
-    if salt_sides["id_l"]:
+    if salt > 1 and salt_trigger_frac > 0:
+        # census-gated HOT-KEY split (round 5): the census names the
+        # hub ids (a bounded list — at most 1/trigger per side), only
+        # rows carrying a hub id take the salted branch, and only the
+        # hub ids' payload rows are replicated. Replicating the whole
+        # compact side (salted_join) measured 2.7x the plain join's
+        # wall on a 30%-hub table; the split costs plain + epsilon.
+        # An EMPTY pair table yields no census rows: both lists come
+        # back empty and salted_join_hot degrades to the plain joins.
+        # `salt_hot_keys` skips the census when the caller already ran
+        # it (one census, many attach calls over the same pair table).
+        hot = (
+            salt_hot_keys
+            if salt_hot_keys is not None
+            else hot_pair_keys(pairs, salt_trigger_frac)
+        )
+        mid = salted_join_hot(
+            pairs, left, "id_l", hot["id_l"], salt=salt, salt_cols=["id_r"]
+        )
+        return salted_join_hot(
+            mid, right, "id_r", hot["id_r"], salt=salt, salt_cols=["id_l"]
+        )
+    if salt > 1:
+        # unconditional full-replication salting (salt_trigger_frac=0):
+        # the right shape when MOST keys are hot or no census is wanted
         mid = salted_join(pairs, left, "id_l", salt=salt, salt_cols=["id_r"])
-    else:
-        mid = pairs.join(left, "id_l")
-    if salt_sides["id_r"]:
         return salted_join(mid, right, "id_r", salt=salt, salt_cols=["id_l"])
-    return mid.join(right, "id_r")
+    return pairs.join(left, "id_l").join(right, "id_r")
 
 
 def attach_pair_payload_bucketed(

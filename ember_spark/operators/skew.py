@@ -63,3 +63,49 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return fat_s.join(compact_s, keys + ["_salt"], how).drop("_salt")
+
+
+def salted_join_hot(
+    fat: DataFrame,
+    compact: DataFrame,
+    on: str,
+    hot_keys: list,
+    salt: int = 8,
+    how: str = "inner",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split-join: salt ONLY the rows whose key is in `hot_keys` (a
+    small census-provided list — at most 1/trigger_frac keys); the cold
+    majority takes the plain join.
+
+    `salted_join` replicates the WHOLE compact side `salt` times, which
+    is the right shape only when most keys are hot; when a census has
+    already named the hubs, replicating everything multiplies the
+    compact side's shuffle+sort by `salt` for keys that never needed
+    spreading (measured: 2.7x the plain join's wall at salt=16 on a 30%
+    single-hub table — scripts/microbench.py). Here the replicated
+    relation is `len(hot_keys) * salt` rows, so the salted plan costs
+    the plain plan plus epsilon while still capping any reducer at
+    roughly 1/salt of a hub's rows. Every fat row lands in exactly one
+    branch, so the fat side is shuffled once in aggregate; the union is
+    a no-shuffle concatenation of the two joins' outputs.
+
+    Same row-identity contract as `salted_join` (inner/left only); the
+    cold branch keeps null-key rows (isin() is null for nulls), which
+    a left join must preserve and an inner join drops either way.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join_hot supports inner/left, got {how!r}")
+    if not hot_keys:
+        return fat.join(compact, on, how)
+    is_hot = F.col(on).isin(list(hot_keys))
+    hot = salted_join(
+        fat.filter(is_hot),
+        compact.filter(is_hot),
+        on,
+        salt=salt,
+        how=how,
+        salt_cols=salt_cols,
+    )
+    cold = fat.filter(F.col(on).isNull() | ~is_hot).join(compact, on, how)
+    return hot.unionByName(cold)

@@ -30,6 +30,12 @@ from ember_spark.operators.blocking import attach_pair_payload  # noqa: E402
 from ember_spark.session import get_spark  # noqa: E402
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def max_reducer_share(pairs, key: str, partitions: int) -> float:
     """Share of rows on the hottest partition after a plain hash
     repartition on `key` — the reducer-load distribution a shuffled
@@ -68,22 +74,56 @@ def salted_bench(spark, n_pairs: int, hot_frac: float = 0.3) -> str:
     corpus.count()
     share = max_reducer_share(pairs, "id_l", parts)
 
-    def run(salt: int) -> tuple[float, int]:
+    def run(salt: int, hot=None) -> tuple[float, int]:
         t0 = time.time()
         out = attach_pair_payload(
             pairs, corpus, "rid", ["text", "text_len"],
             broadcast_payload=False, salt=salt,
             salt_trigger_frac=0.25 if salt else 0.0,
+            salt_hot_keys=hot,
         )
         n = out.count()
         return time.time() - t0, n
 
-    # interleaved best-of-2 per plan (shared box)
-    plain_w, n1 = run(0)
-    salted_w, n2 = run(16)
-    plain_w = min(plain_w, run(0)[0])
-    salted_w = min(salted_w, run(16)[0])
-    assert n1 == n2 == n_pairs, (n1, n2, n_pairs)
+    # row 1: AQE free to broadcast — what Spark does when the pruned
+    # payload fits an executor (the non-skew-relevant regime: a
+    # broadcast join has no reducer to skew)
+    bcast_w, n0 = run(0)
+    bcast_w = min(bcast_w, run(0)[0])
+    # rows 2-3: broadcast OFF at both the planner and AQE — the 100 TB
+    # regime this operator exists for (payload too big for an executor,
+    # so the join MUST shuffle and a hub key MUST land somewhere)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    for k in saved:
+        spark.conf.set(k, "-1")
+    try:
+        # census timed separately: one map-side-combinable pass over
+        # the persisted pair table, run ONCE however many attach calls
+        # reuse its keys (salt_hot_keys) — reported as its own cost,
+        # not folded into the join wall
+        from ember_spark.operators.blocking import hot_pair_keys
+
+        t0 = time.time()
+        hot = hot_pair_keys(pairs, 0.25, n_pairs=n_pairs)
+        census_w = time.time() - t0
+        census_w = min(census_w, _timed(lambda: hot_pair_keys(pairs, 0.25, n_pairs=n_pairs)))
+        # interleaved best-of-2 per plan (shared box)
+        plain_w, n1 = run(0)
+        salted_w, n2 = run(16, hot=hot)
+        plain_w = min(plain_w, run(0)[0])
+        salted_w = min(salted_w, run(16, hot=hot)[0])
+    finally:
+        for k, v in saved.items():
+            # an unset adaptive threshold reads None (it falls back to
+            # the non-adaptive key) — restore by unsetting, not set(None)
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert n0 == n1 == n2 == n_pairs, (n0, n1, n2, n_pairs)
     salted_share = share / 16
     pairs.unpersist(), corpus.unpersist()
     return "\n".join([
@@ -91,26 +131,34 @@ def salted_bench(spark, n_pairs: int, hot_frac: float = 0.3) -> str:
         "",
         f"Pair table: {n_pairs:,} pairs, one id_l hub holding"
         f" {hot_frac:.0%} of all pairs; payload joins with"
-        f" `attach_pair_payload` (broadcast off so the join actually"
-        f" shuffles; AQE + its skew-join splitter ON for both plans)."
-        f" The salted plan triggers its one-job census"
-        f" (`hot_pair_key_fracs`), detects the hub side, and spreads it"
-        f" over salt=16.",
+        f" `attach_pair_payload`. The salted plan runs its one-job"
+        f" census (`hot_pair_keys`), NAMES the hub ids, salts only the"
+        f" rows carrying one over salt=16, and replicates only the hub"
+        f" ids' payload rows (`salted_join_hot` — full-side replication"
+        f" measured 2.7x the plain wall and was replaced this round).",
         "",
         "| plan | wall | max-reducer share of the fat side |",
         "|---|---|---|",
-        f"| plain join | {plain_w:.2f}s | {share:.1%} (one task owns the hub) |",
-        f"| salted join (census-gated, salt=16) | {salted_w:.2f}s |"
+        f"| broadcast (AQE's own choice when the payload fits) |"
+        f" {bcast_w:.2f}s | — (no reducer to skew) |",
+        f"| plain shuffle join (payload too big to broadcast) |"
+        f" {plain_w:.2f}s | {share:.1%} (one task owns the hub) |",
+        f"| salted shuffle join (hot-key split, salt=16) |"
+        f" {salted_w:.2f}s |"
         f" {salted_share:.1%} (hub spread across 16 reducers) |",
+        f"| one-job hub census (`hot_pair_keys`, reusable across"
+        f" attach calls via `salt_hot_keys`) | {census_w:.2f}s | — |",
         "",
-        "On a single box with tmpfs shuffle the wall gap understates the"
-        " cluster win: here every slot shares one memory system, so the"
-        " 'straggler' still runs at full local speed — on a real"
+        "On a single box with tmpfs shuffle the wall columns of the two"
+        " shuffle plans read nearly equal — every slot here shares one"
+        " memory system, so the hub task runs at full local speed and"
+        " only the max-reducer column shows the exposure. On a real"
         " cluster the plain plan's hub task pins ONE core for"
         f" ~{share:.0%} of the stage's rows while every other executor"
         " idles, and the salted plan caps any task at the spread share."
         " Output row-identity plain == salted is asserted here and in"
-        " tests/test_skew.py.",
+        " tests/test_skew.py (property-tested over arbitrary hot-key"
+        " lists).",
         "",
         "Reproduce: `python scripts/microbench.py [pairs] [events]`",
     ])

@@ -121,6 +121,61 @@ def test_property_salting_is_a_physical_rewrite(spark, fat_rows, dim_keys, salt,
     assert _counts(got, cols) == _counts(want, cols)
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    fat_rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=0, max_size=40
+    ),
+    dim_keys=st.sets(st.integers(0, 7), max_size=6),
+    hot_keys=st.sets(st.integers(0, 7), max_size=3),
+    salt=st.integers(1, 5),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_property_hot_split_is_a_physical_rewrite(
+    spark, fat_rows, dim_keys, hot_keys, salt, how
+):
+    """salted_join_hot == plain join as a multiset for arbitrary inputs
+    and ANY hot-key list — hot keys missing from fat, missing from
+    compact, or covering everything; empty hot list degrades to the
+    plain join."""
+    from ember_spark.operators.skew import salted_join_hot
+
+    fat = spark.createDataFrame(fat_rows or [(99, 0)], "k int, v int")
+    if not fat_rows:
+        fat = fat.filter("k < 0")
+    compact = spark.createDataFrame(
+        [(k, f"d{k}") for k in sorted(dim_keys)] or [(99, "d")], "k int, name string"
+    )
+    if not dim_keys:
+        compact = compact.filter("k < 0")
+    got = salted_join_hot(
+        fat, compact, on="k", hot_keys=sorted(hot_keys), salt=salt, how=how
+    )
+    want = fat.join(compact, "k", how)
+    cols = ["k", "v", "name"]
+    assert _counts(got, cols) == _counts(want, cols)
+
+
+def test_hot_split_replicates_only_hot_payload_rows(spark):
+    """The replicated relation in the hot branch is |hot| x salt rows,
+    not |compact| x salt — the whole point of the split."""
+    from ember_spark.operators.skew import salted_join_hot
+
+    fat = spark.createDataFrame(
+        [(7, i) for i in range(100)] + [(i % 50 + 100, i) for i in range(100)],
+        "k long, v long",
+    )
+    compact = spark.createDataFrame(
+        [(k, f"d{k}") for k in list(range(100, 160)) + [7]], "k long, name string"
+    )
+    got = salted_join_hot(fat, compact, on="k", hot_keys=[7], salt=16)
+    assert got.count() == 200
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1
+    # the exploded side is filtered to the hot keys BEFORE replication
+    assert "isin" in plan.lower() or "IN (7)" in plan or "= 7" in plan
+
+
 # ------------------------------------------------ pipeline wiring (round 4)
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
