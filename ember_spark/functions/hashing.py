@@ -203,6 +203,65 @@ def hash_embedding_py(tokens: list[str] | None, dim: int = 64) -> list[float]:
     return [float(x) for x in emb_from_th(th_from_tokens(tokens), dim)]
 
 
+def pair_cos_from_th_batch(tok_l, tok_r, dim: int = 64) -> np.ndarray:
+    """f_cos for a whole Arrow batch of pairs in ONE numpy pass per
+    side: cos_i = dot(emb_from_th(tok_l[i]), emb_from_th(tok_r[i])).
+
+    The per-pair form (2 bincounts + 2 norms + astype + dot per pair)
+    measured ~30 µs/pair — ~60% of the scoring kernel's CPU and, at
+    wide parallelism, the allocator churn behind the prepare/score
+    memory-bandwidth knee. Here each side's embeddings for ALL pairs
+    come from a single `bincount(pair_idx*dim + slot)` scatter over the
+    flattened token buffer, then one row-normalize and one row-wise
+    dot (einsum).
+
+    Value identity with the scalar path (property-tested exact in
+    tests/test_round5.py): bincount accumulates each pair's slots in
+    within-pair element order either way; the row norm and the final
+    dot both reduce 64 float64 products with np.dot/BLAS semantics
+    (norms via einsum on each row match np.linalg.norm's 1-D dot), and
+    the float32 quantization is applied elementwise before the float64
+    dot exactly as emb_from_th does.
+    """
+    n = len(tok_l)
+
+    def side_matrix(tok) -> np.ndarray:
+        lens = np.fromiter(
+            (0 if t is None else len(t) for t in tok), dtype=np.intp, count=n
+        )
+        out = np.zeros((n, dim), dtype=np.float64)
+        total = int(lens.sum())
+        if total == 0:
+            return out
+        # concatenate the raw (int32 `th`) arrays first, convert once —
+        # a per-array astype costs more than the whole scatter
+        flat = np.concatenate([t for t in tok if t is not None and len(t)])
+        u = flat.astype(np.int64) & np.int64(0xFFFFFFFF)  # u32 reinterpret
+        # u is non-negative, so & (dim-1) == % dim for power-of-2 dims
+        slots = (u & np.int64(dim - 1)) if dim & (dim - 1) == 0 else u % dim
+        pair_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keys = pair_idx * dim + slots
+        # the weights are ±1, so two integer bincounts replace the slow
+        # float-weighted scatter; sums of ±1 are exact integers in
+        # float64 (|sum| << 2^53), so this is bit-identical to the
+        # scalar accumulation regardless of order
+        pos = ((u >> np.int64(20)) & np.int64(1)) == 1
+        M = (
+            np.bincount(keys[pos], minlength=n * dim)
+            - np.bincount(keys[~pos], minlength=n * dim)
+        ).astype(np.float64).reshape(n, dim)
+        # row norms with the SAME reduction the scalar path uses
+        # (np.linalg.norm of a 1-D vector is sqrt(dot(v, v)))
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        np.divide(M, norms[:, None], out=M, where=norms[:, None] > 0)
+        # emb_from_th returns float32; the scoring dot upcasts to f64
+        return M.astype(np.float32).astype(np.float64)
+
+    ml = side_matrix(tok_l)
+    mr = side_matrix(tok_r)
+    return np.einsum("ij,ij->i", ml, mr)
+
+
 # ------------------------------------------------------- numpy minhash
 #: affine-permutation parameters (odd multiplier => bijection mod 2^64),
 #: deterministic from blake2b; cached per (num_hashes)

@@ -24,29 +24,53 @@ def _min_with_self(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to m(u)."""
+def _large_star(edges: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u).
+
+    ONE exchange: bidir is repartitioned by src once, and both the
+    m-aggregation and the bidir-join-m reuse that partitioning (the
+    naive groupBy-then-join plan pays two). No trailing distinct —
+    star rounds are multiplicity-idempotent (duplicate edges change
+    neither m(u) nor the output SET), and the small-star that always
+    follows ends with the iteration's single dedup, so a dedup here
+    was one full extra shuffle of the edge set per iteration. The
+    driver-synchronized CC loop's per-iteration stage count is pure
+    serial cost a 4x-wider cluster cannot shrink, so fewer exchanges
+    per round is exactly what the scaling gate buys with this."""
     bidir = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if partitions:
+        bidir = bidir.repartition(partitions, "src")
     m = _min_with_self(bidir)
+    # shuffle-hash, not sort-merge: m is the per-key min table (small),
+    # and SMJ would re-sort the full bidir edge set EVERY iteration —
+    # measured as the cluster stage's main CPU at wide parallelism. No
+    # broadcast: a broadcast build is driver-serial per iteration,
+    # exactly the fixed cost the scaling gate punishes.
     return (
-        bidir.join(m, "src")
+        bidir.join(m.hint("shuffle_hash"), "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, partitions: int | None = None) -> DataFrame:
     """Within each node's smaller-or-equal neighborhood, connect all
-    (plus the node itself) to the minimum."""
+    (plus the node itself) to the minimum. Same one-exchange shape as
+    `_large_star`; the trailing distinct is the iteration's single
+    edge-set dedup (it also feeds the convergence checksum, which
+    compares SETS)."""
     canon = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
+    if partitions:
+        canon = canon.repartition(partitions, "src")
     m = _min_with_self(canon)
-    nbrs = canon.join(m, "src").select(F.col("dst").alias("node"), F.col("m"))
+    nbrs = canon.join(m.hint("shuffle_hash"), "src").select(
+        F.col("dst").alias("node"), F.col("m")
+    )
     selfs = m.select(F.col("src").alias("node"), F.col("m"))
     return (
         nbrs.union(selfs)
@@ -308,7 +332,9 @@ def connected_components(
     spark.conf.set(aqe_key, "false")
     try:
         for it in range(1, max_iterations + 1):
-            e = persist_iter(_small_star(_large_star(e)), it)
+            e = persist_iter(
+                _small_star(_large_star(e, cc_parts), cc_parts), it
+            )
             cur = _checksum(e)
             if cur == prev:
                 break

@@ -26,6 +26,7 @@ from ember_spark.functions.text import normalize_text
 from ember_spark.functions.tokenize import char_ngrams, tokenize_ws
 from ember_spark.operators.blocking import (
     DEFAULT_BLOCK_CAP,
+    _pairs_from_keys,
     cap_hot_blocks,
     ensure_parallelism,
     lsh_candidate_pairs,
@@ -170,8 +171,9 @@ def minhash_lsh_dedup(
     # session CacheManager until an explicit unpersist (a storage leak
     # for library callers), while checkpoint blocks are released by the
     # ContextCleaner when the returned DataFrame is dropped; eager
-    # because concurrent join legs convoy on a lazy checkpoint's
-    # block-store locks (see blocking._pairs_from_keys).
+    # because concurrent consumers convoy on a lazy checkpoint's
+    # block-store locks while holding execution slots (measured
+    # +30-100% wall on a 5M-pair stage at 8 cores).
     # verify keeps STRING token sets deliberately: LSH prunes candidates
     # to ~O(dups) pairs, so per-pair jaccard cost is negligible and the
     # regime favors minimal per-DOC prep — hashing every shingle first
@@ -297,23 +299,17 @@ def embedding_neardup(
     base = ensure_parallelism(emb_df).select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("e")
     )
-    # (id, key) only through the explode + self-join: the embedding
-    # payload re-attaches per verified candidate, keeping the banded
-    # shuffle narrow. localCheckpoint so the Arrow matmul runs once,
-    # not once per self-join side — EAGER, because the two self-join
-    # legs scan it concurrently and convoy on a lazy checkpoint's
-    # block-store locks (see blocking._pairs_from_keys).
+    # (id, key) only through the explode + grouped combinations: the
+    # embedding payload re-attaches per verified candidate, keeping the
+    # banded shuffle narrow. Pair generation scans the banded lineage
+    # ONCE (blocking._pairs_from_keys — one exchange, no self-join), so
+    # the Arrow matmul runs once with no checkpoint needed.
     banded = base.select(
         "id", F.explode(keys_udf(F.col("e"))).alias("block_key")
-    ).localCheckpoint()
+    )
     banded = cap_hot_blocks(banded, "block_key", cap)
-    left = banded.select("block_key", F.col("id").alias("id_l"))
-    right = banded.select("block_key", F.col("id").alias("id_r"))
-    cands = (
-        left.join(right, "block_key")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
-        .dropDuplicates(["id_l", "id_r"])
+    cands = _pairs_from_keys(banded, "id", "block_key").dropDuplicates(
+        ["id_l", "id_r"]
     )
     l = base.select(F.col("id").alias("id_l"), F.col("e").alias("e_l"))
     r = base.select(F.col("id").alias("id_r"), F.col("e").alias("e_r"))

@@ -160,3 +160,50 @@ def test_prepare_batch_rejects_null_token_element():
     embs, sigs, ths = prepare_batch([None, []], hs, 64, 64)
     assert len(ths) == 2 and ths[0].size == 0 and ths[1].size == 0
     assert np.asarray(sigs[0]).size == 64
+
+
+def test_pair_cos_batch_matches_scalar_exactly():
+    """pair_cos_from_th_batch (whole-batch bincount scatter) must be
+    BIT-identical to the per-pair form the scoring UDF used before:
+    float64 dot of emb_from_th(a) and emb_from_th(b). Covers empty and
+    None sides, duplicate-slot accumulation, and a non-power-of-2 dim
+    (which exercises the % path instead of the & mask)."""
+    import numpy as np
+
+    from ember_spark.functions.hashing import emb_from_th, pair_cos_from_th_batch
+
+    rng = np.random.default_rng(142)
+    cases = []
+    for trial in range(200):
+        la, lb = rng.integers(0, 180, 2)
+        a = (
+            np.unique(rng.integers(-(2**31), 2**31, la).astype(np.int32))
+            if la
+            else np.empty(0, np.int32)
+        )
+        b = (
+            np.unique(rng.integers(-(2**31), 2**31, lb).astype(np.int32))
+            if lb
+            else np.empty(0, np.int32)
+        )
+        if trial % 17 == 0:
+            a = None
+        if trial % 23 == 0:
+            b = None
+        cases.append((a, b))
+    tl = [c[0] for c in cases]
+    tr = [c[1] for c in cases]
+    for dim in (64, 48):
+        batch = pair_cos_from_th_batch(tl, tr, dim)
+        scalar = np.array(
+            [
+                float(
+                    np.dot(
+                        emb_from_th(a, dim).astype(np.float64),
+                        emb_from_th(b, dim).astype(np.float64),
+                    )
+                )
+                for a, b in cases
+            ]
+        )
+        assert np.array_equal(batch, scalar), dim
