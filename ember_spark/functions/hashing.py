@@ -229,23 +229,38 @@ def pair_cos_from_th_batch(tok_l, tok_r, dim: int = 64) -> np.ndarray:
         lens = np.fromiter(
             (0 if t is None else len(t) for t in tok), dtype=np.intp, count=n
         )
-        out = np.zeros((n, dim), dtype=np.float64)
         total = int(lens.sum())
         if total == 0:
-            return out
+            return np.zeros((n, dim), dtype=np.float64)
         # concatenate the raw (int32 `th`) arrays first, convert once —
         # a per-array astype costs more than the whole scatter
         flat = np.concatenate([t for t in tok if t is not None and len(t)])
-        u = flat.astype(np.int64) & np.int64(0xFFFFFFFF)  # u32 reinterpret
+        # u32 reinterpret of the low 32 bits, exactly like emb_from_th;
+        # int32 `th` gets it as a zero-copy view, and the narrow
+        # (u32/i32) index math halves this kernel's per-batch memory
+        # traffic — it runs in every python worker at once, so its
+        # bytes-touched set the memory-bandwidth knee at wide
+        # parallelism
+        if flat.dtype == np.int32:
+            u = flat.view(np.uint32)
+        elif flat.dtype == np.uint32:
+            u = flat
+        else:
+            u = (
+                np.asarray(flat, dtype=np.int64) & np.int64(0xFFFFFFFF)
+            ).astype(np.uint32)
         # u is non-negative, so & (dim-1) == % dim for power-of-2 dims
-        slots = (u & np.int64(dim - 1)) if dim & (dim - 1) == 0 else u % dim
-        pair_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        keys = pair_idx * dim + slots
+        slots = (
+            (u & np.uint32(dim - 1)) if dim & (dim - 1) == 0
+            else u % np.uint32(dim)
+        ).astype(np.int32)
+        pair_idx = np.repeat(np.arange(n, dtype=np.int32), lens)
+        keys = pair_idx * np.int32(dim) + slots  # < n*dim, fits int32
         # the weights are ±1, so two integer bincounts replace the slow
         # float-weighted scatter; sums of ±1 are exact integers in
         # float64 (|sum| << 2^53), so this is bit-identical to the
         # scalar accumulation regardless of order
-        pos = ((u >> np.int64(20)) & np.int64(1)) == 1
+        pos = ((u >> np.uint32(20)) & np.uint32(1)) == 1
         M = (
             np.bincount(keys[pos], minlength=n * dim)
             - np.bincount(keys[~pos], minlength=n * dim)

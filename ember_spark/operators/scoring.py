@@ -98,7 +98,54 @@ def pair_features(
     )
 
 
-def make_pair_text_features_udf(max_len: int = 80, emb_dim: int | None = None):
+def with_pair_overlap(
+    df: DataFrame, tok_l: Column, tok_r: Column, distinct: bool = False,
+    jac_name: str = "f_jaccard", cont_name: str = "f_containment",
+) -> DataFrame:
+    """Append JVM-codegen f_jaccard/f_containment over token arrays —
+    value-identical to the Arrow kernel's `_tok_overlap` path (null
+    side -> size 0, 0/0 -> 0.0, IEEE double division of exact ints),
+    but computed by `array_intersect` inside whole-stage codegen so the
+    per-pair set work scales with executor cores instead of occupying
+    the Python workers. `distinct=True` for raw token-STRING arrays
+    (set semantics over possible duplicates); the hashed-token `th`
+    payload is unique by construction so plain sizes suffice.
+
+    The intersect lands in its OWN projection (inter/la/lb as
+    intermediate columns, each referenced more than once downstream):
+    CollapseProject refuses to inline a non-cheap expression into
+    multiple references, so `array_intersect` is evaluated exactly
+    ONCE per pair — folding it into the jac/cont expressions directly
+    re-evaluates it per reference (~4x, measured +100 CPU core-s on a
+    3.16M-pair scoring stage)."""
+    def _n(c: Column) -> Column:
+        sized = F.size(F.array_distinct(c)) if distinct else F.size(c)
+        return F.when(c.isNull(), F.lit(0)).otherwise(sized)
+
+    df = df.withColumns({
+        "_po_la": _n(tok_l),
+        "_po_lb": _n(tok_r),
+        "_po_inter": F.when(
+            tok_l.isNull() | tok_r.isNull(), F.lit(0)
+        ).otherwise(F.size(F.array_intersect(tok_l, tok_r))),
+    })
+    la, lb, inter = F.col("_po_la"), F.col("_po_lb"), F.col("_po_inter")
+    union = la + lb - inter
+    mn = F.least(la, lb)
+    return df.withColumns({
+        jac_name: F.when(union == 0, F.lit(0.0)).otherwise(
+            inter.cast("double") / union.cast("double")
+        ),
+        cont_name: F.when(mn == 0, F.lit(0.0)).otherwise(
+            inter.cast("double") / mn.cast("double")
+        ),
+    }).drop("_po_la", "_po_lb", "_po_inter")
+
+
+def make_pair_text_features_udf(
+    max_len: int = 80, emb_dim: int | None = None,
+    include_overlap: bool = True,
+):
     """ONE Arrow batch UDF computing the python-only pair features —
     (f_jaccard, f_containment, f_jw[, f_cos]) — from the pair payload.
     This is the north-star scoring shape ("score pairs with batched
@@ -116,6 +163,12 @@ def make_pair_text_features_udf(max_len: int = 80, emb_dim: int | None = None):
     Without `emb_dim`, cosine stays a JVM codegen concern of the caller
     (`cosine_sim_fixed` over shipped embeddings — the pre-round-3
     shape, kept for token-string callers).
+
+    With `include_overlap=False`, f_jaccard/f_containment are omitted:
+    callers compute them JVM-side via `pair_overlap_cols` (exact same
+    values), leaving this kernel fully batch-vectorized — the per-pair
+    `np.intersect1d` loop was the last scalar Python on the scoring hot
+    path (~45% of the kernel at ~92 tokens/side).
     """
     from pyspark.sql.types import StructField, StructType
 
@@ -137,8 +190,8 @@ def make_pair_text_features_udf(max_len: int = 80, emb_dim: int | None = None):
     fields = [
         StructField("f_jaccard", DoubleType()),
         StructField("f_containment", DoubleType()),
-        StructField("f_jw", DoubleType()),
-    ]
+    ] if include_overlap else []
+    fields.append(StructField("f_jw", DoubleType()))
     if emb_dim:
         fields.append(StructField("f_cos", DoubleType()))
     schema = StructType(fields)
@@ -176,8 +229,9 @@ def make_pair_text_features_udf(max_len: int = 80, emb_dim: int | None = None):
         # with numpy across the whole Arrow batch (value-identical,
         # property-tested vs jaro_winkler_py)
         jw = jaro_winkler_batch(text_l.tolist(), text_r.tolist(), max_len=max_len)
-        tl_list = tok_l.tolist()
-        tr_list = tok_r.tolist()
+        need_toks = include_overlap or bool(emb_dim)
+        tl_list = tok_l.tolist() if need_toks else []
+        tr_list = tok_r.tolist() if need_toks else []
         if emb_dim:
             # hashed-token (int) payloads take the whole-batch scatter
             # kernel — one bincount per SIDE instead of two bincounts +
@@ -204,13 +258,17 @@ def make_pair_text_features_udf(max_len: int = 80, emb_dim: int | None = None):
                     dtype=np.float64,
                     count=n,
                 )
-        for i in range(n):
-            inter, la, lb = _tok_overlap(tl_list[i], tr_list[i])
-            union = la + lb - inter
-            jac[i] = inter / union if union else 0.0
-            mn = min(la, lb)
-            cont[i] = inter / mn if mn else 0.0
-        out = {"f_jaccard": jac, "f_containment": cont, "f_jw": jw}
+        out = {}
+        if include_overlap:
+            for i in range(n):
+                inter, la, lb = _tok_overlap(tl_list[i], tr_list[i])
+                union = la + lb - inter
+                jac[i] = inter / union if union else 0.0
+                mn = min(la, lb)
+                cont[i] = inter / mn if mn else 0.0
+            out["f_jaccard"] = jac
+            out["f_containment"] = cont
+        out["f_jw"] = jw
         if emb_dim:
             out["f_cos"] = cos
         return pd.DataFrame(out)

@@ -37,6 +37,7 @@ from ember_spark.operators.scoring import (
     CascadeMatcher,
     LogisticMatcher,
     make_pair_text_features_udf,
+    with_pair_overlap,
     pair_features,
 )
 
@@ -426,12 +427,21 @@ class ERPipeline:
             withpay = salted_repartition(withpay, "id_l", "id_r", parts, self.cfg.salt)
         out_cols = ["id_l", "id_r", *FEATURES, "score", "prediction"]
         if self.cfg.feature_mode == "arrow":
+            # jaccard/containment run JVM-side (codegen array_intersect
+            # over the hashed-token payload — pair_overlap_cols, exact
+            # same values); the Arrow kernel keeps only the two batch-
+            # vectorized metrics (JW, cos), so no per-pair Python
+            # remains anywhere in scoring
             feats_udf = make_pair_text_features_udf(
-                emb_dim=self.cfg.embedding_dim
+                emb_dim=self.cfg.embedding_dim, include_overlap=False
             )
             mx = F.greatest("text_len_l", "text_len_r")  # full-text lens
             mn = F.least("text_len_l", "text_len_r")
-            feats = withpay.withColumn(
+            feats = with_pair_overlap(
+                withpay,
+                F.col(f"{tok_col}_l"), F.col(f"{tok_col}_r"),
+                distinct=(tok_col == "tokens"),
+            ).withColumn(
                 "_f",
                 feats_udf(
                     F.col("text_l"), F.col("text_r"),
@@ -440,8 +450,8 @@ class ERPipeline:
             ).select(
                 "id_l",
                 "id_r",
-                F.col("_f.f_jaccard").alias("f_jaccard"),
-                F.col("_f.f_containment").alias("f_containment"),
+                "f_jaccard",
+                "f_containment",
                 F.col("_f.f_jw").alias("f_jw"),
                 F.col("_f.f_cos").alias("f_cos"),
                 F.when(mx == 0, F.lit(1.0)).otherwise(mn / mx).alias("f_len_ratio"),

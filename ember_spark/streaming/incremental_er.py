@@ -59,7 +59,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ember_spark.functions.hashing import lsh_band_keys, make_prepare_udf
-from ember_spark.operators.scoring import LogisticMatcher, make_pair_text_features_udf
+from ember_spark.operators.scoring import (
+    LogisticMatcher,
+    make_pair_text_features_udf,
+    with_pair_overlap,
+)
 from ember_spark.functions.tokenize import tokenize_auto
 
 
@@ -146,11 +150,13 @@ def streaming_entity_assign(
         .join(banded_corpus, "band_key", "left_outer")
         .dropDuplicates(["ts", "url", "c_rid"])
     )
-    feats_udf = make_pair_text_features_udf(emb_dim=embedding_dim)
+    feats_udf = make_pair_text_features_udf(
+        emb_dim=embedding_dim, include_overlap=False
+    )
     mx = F.greatest("s_len", "c_len")
     mn = F.least("s_len", "c_len")
     scored = (
-        cands.withColumn(
+        with_pair_overlap(cands, F.col("s_th"), F.col("c_th")).withColumn(
             "_f",
             feats_udf(F.col("s_text"), F.col("c_text"), F.col("s_th"), F.col("c_th")),
         )
@@ -158,8 +164,8 @@ def streaming_entity_assign(
             "ts",
             "url",
             "entity_id",
-            F.col("_f.f_jaccard").alias("f_jaccard"),
-            F.col("_f.f_containment").alias("f_containment"),
+            "f_jaccard",
+            "f_containment",
             F.col("_f.f_jw").alias("f_jw"),
             F.col("_f.f_cos").alias("f_cos"),
             # batch parity: both-empty -> 1.0 exactly like pair_features
@@ -317,17 +323,21 @@ def _resolve_micro_batch_with_fresh(
         F.col("rid").alias("id_r"), F.col("s_text").alias("t_r"),
         F.col("s_len").alias("n_r"), F.col("s_th").alias("h_r"),
     )
-    feats_udf = make_pair_text_features_udf(emb_dim=embedding_dim)
+    feats_udf = make_pair_text_features_udf(
+        emb_dim=embedding_dim, include_overlap=False
+    )
     mx = F.greatest("n_l", "n_r")
     mn = F.least("n_l", "n_r")
     scored_pairs = (
-        cand.join(l, "id_l")
-        .join(r, "id_r")
+        with_pair_overlap(
+            cand.join(l, "id_l").join(r, "id_r"),
+            F.col("h_l"), F.col("h_r"),
+        )
         .withColumn("_f", feats_udf(F.col("t_l"), F.col("t_r"), F.col("h_l"), F.col("h_r")))
         .select(
             "id_l", "id_r",
-            F.col("_f.f_jaccard").alias("f_jaccard"),
-            F.col("_f.f_containment").alias("f_containment"),
+            "f_jaccard",
+            "f_containment",
             F.col("_f.f_jw").alias("f_jw"),
             F.col("_f.f_cos").alias("f_cos"),
             F.when(mx == 0, F.lit(1.0)).otherwise(mn / mx).alias("f_len_ratio"),

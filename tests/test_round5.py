@@ -1,0 +1,102 @@
+"""Round-5 regression tests.
+
+pair_overlap_cols (JVM codegen jaccard/containment) must be
+value-IDENTICAL to the Arrow kernel's per-pair `_tok_overlap` path it
+replaced on the scoring hot path — including null sides, empty arrays,
+0/0 conventions, and duplicate-bearing token-string arrays.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ember_spark.operators.scoring import (
+    make_pair_text_features_udf,
+    with_pair_overlap,
+)
+
+
+def _scalar_overlap(a, b):
+    """The exact python semantics the Arrow kernel used."""
+    if a is None or b is None:
+        la = 0 if a is None else len(set(a))
+        lb = 0 if b is None else len(set(b))
+        inter = 0
+    else:
+        sa, sb = set(a), set(b)
+        inter, la, lb = len(sa & sb), len(sa), len(sb)
+    union = la + lb - inter
+    jac = inter / union if union else 0.0
+    mn = min(la, lb)
+    cont = inter / mn if mn else 0.0
+    return jac, cont
+
+
+def _check(spark, rows, elem_type, distinct):
+    schema = StructType([
+        StructField("a", ArrayType(elem_type)),
+        StructField("b", ArrayType(elem_type)),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    got = (
+        with_pair_overlap(df, F.col("a"), F.col("b"), distinct=distinct,
+                          jac_name="j", cont_name="c")
+        .select("j", "c").collect()
+    )
+    for (a, b), r in zip(rows, got):
+        ej, ec = _scalar_overlap(a, b)
+        assert r["j"] == ej, (a, b, r["j"], ej)
+        assert r["c"] == ec, (a, b, r["c"], ec)
+
+
+def test_pair_overlap_int_arrays_match_scalar_kernel(spark):
+    rng = random.Random(5)
+    rows = [(None, [1, 2]), ([1, 2], None), (None, None), ([], []),
+            ([], [3]), ([1, 2, 3], [1, 2, 3])]
+    for _ in range(60):
+        a = sorted(rng.sample(range(-(2**31), 2**31 - 1), rng.randint(0, 40)))
+        b = sorted(rng.sample(range(-(2**31), 2**31 - 1), rng.randint(0, 40)))
+        if rng.random() < 0.5 and a and b:
+            b = sorted(set(b[: len(b) // 2] + a[: len(a) // 2]))
+        rows.append((a, b))
+    _check(spark, rows, IntegerType(), distinct=False)
+
+
+def test_pair_overlap_string_arrays_with_duplicates(spark):
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = [(None, ["x"]), ([], ["x", "x"]), (["a", "a"], ["a"])]
+    for _ in range(40):
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        b = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        rows.append((a, b))
+    _check(spark, rows, StringType(), distinct=True)
+
+
+def test_slim_udf_drops_overlap_fields(spark):
+    """include_overlap=False keeps only the batched metrics (jw, cos)
+    and they stay identical to the full kernel's."""
+    schema = StructType([
+        StructField("tl", StringType()), StructField("tr", StringType()),
+        StructField("a", ArrayType(LongType())),
+        StructField("b", ArrayType(LongType())),
+    ])
+    rows = [("alpha beta", "alpha bexa", [1, 2, 3], [2, 3, 4]),
+            ("", "x", [], [1]), ("same", "same", [5], [5])]
+    df = spark.createDataFrame(rows, schema)
+    full = make_pair_text_features_udf(emb_dim=64)
+    slim = make_pair_text_features_udf(emb_dim=64, include_overlap=False)
+    got = df.select(
+        full("tl", "tr", "a", "b").alias("f"),
+        slim("tl", "tr", "a", "b").alias("s"),
+    ).collect()
+    for r in got:
+        assert set(r["s"].asDict()) == {"f_jw", "f_cos"}
+        assert r["s"]["f_jw"] == r["f"]["f_jw"]
+        assert r["s"]["f_cos"] == r["f"]["f_cos"]
