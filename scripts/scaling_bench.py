@@ -65,6 +65,26 @@ def _trial_log_path() -> str:
     )
 
 
+def _default_conf(mode: str) -> str:
+    """The scaling job profile, applied IDENTICALLY at every level:
+    fixed shuffle width (a cluster job's shuffle width is sized to the
+    data, not re-planned per executor count) and shuffle compression
+    off (shuffles live on tmpfs here — lz4 is pure CPU with no
+    bandwidth to buy; a network cluster turns it back on at both sizes
+    equally). Executor mode additionally pins EVERY executor JVM to
+    ActiveProcessorCount=1: the north_rule's N->4N comparison is 4x as
+    many IDENTICAL executors, so each single-core executor must size
+    its GC/JIT/service pools for one core at BOTH levels — otherwise
+    each executor JVM sizes pools for all 32 host cores."""
+    conf = (
+        "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
+        "spark.sql.shuffle.partitions=32"
+    )
+    if mode == "executors":
+        conf += ";spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=1"
+    return conf
+
+
 def _protocol() -> dict:
     """Every knob that changes what a trial measures. Recorded with
     each checkpointed trial and matched EXACTLY on resume — a trial
@@ -72,13 +92,10 @@ def _protocol() -> dict:
     different experiment and must not be silently folded into a sweep's
     min-wall/min-cpu selection. (Pre-r4 records lack the field and are
     skipped with a warning rather than assumed compatible.)"""
+    mode = os.environ.get("EMBER_SCALING_MODE", "threads")
     return {
         "apc": os.environ.get("EMBER_SCALING_APC", "1"),
-        "extra_conf": os.environ.get(
-            "EMBER_EXTRA_CONF",
-            "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
-            "spark.sql.shuffle.partitions=32",
-        ),
+        "extra_conf": os.environ.get("EMBER_EXTRA_CONF", _default_conf(mode)),
     }
 
 
@@ -125,26 +142,22 @@ def run_trial(cores: int, entities: int) -> dict:
     # bench.py's own best-of-N would nest trials inside trials and
     # silently halve the sweep's trial budget
     env["EMBER_BENCH_ER_TRIALS"] = "1"
-    # the scaling job profile, applied IDENTICALLY at every level:
-    # - fixed shuffle width (32): the physical plan must be the same
-    #   at N and 4N slots — a cluster job's shuffle width is sized to
-    #   the data, not re-planned per executor count; letting width
-    #   track slots would compare two different jobs.
-    # - shuffle compression off: shuffles live on tmpfs here, so lz4
-    #   is pure CPU overhead with no bandwidth to buy (a network
-    #   cluster turns it back on — at both sizes equally).
-    env.setdefault(
-        "EMBER_EXTRA_CONF",
-        "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
-        "spark.sql.shuffle.partitions=32",
-    )
-    # DEFAULT: size the JVM like an N-core executor container
-    # (ActiveProcessorCount=N) — on a real cluster every executor
-    # JVM sees exactly its core allotment and sizes GC/service
-    # pools for it; without this every level's JVM sizes pools for
-    # all host cores, billing the narrow levels extra service CPU.
-    # EMBER_SCALING_APC=0 opts out (the pre-r3-final protocol).
-    if os.environ.get("EMBER_SCALING_APC", "1") != "0":
+    # the scaling job profile, applied IDENTICALLY at every level
+    # (see _default_conf): fixed shuffle width 32, shuffle compression
+    # off; executor mode pins each executor JVM to APC=1.
+    env.setdefault("EMBER_EXTRA_CONF", _default_conf(mode))
+    # THREADS mode: size the one shared JVM like an N-core executor
+    # container (ActiveProcessorCount=N) — on a real cluster every
+    # executor JVM sees exactly its core allotment and sizes
+    # GC/service pools for it; without this every level's JVM sizes
+    # pools for all host cores, billing the narrow levels extra
+    # service CPU. EMBER_SCALING_APC=0 opts out.
+    # EXECUTOR mode: executors are pinned to APC=1 via _default_conf;
+    # the DRIVER JVM is deliberately left at host sizing — it is the
+    # same driver at both levels (a cluster driver does not change
+    # when executors are added), so per-level driver APC would vary a
+    # second knob alongside the executor count.
+    if mode != "executors" and os.environ.get("EMBER_SCALING_APC", "1") != "0":
         env["EMBER_APC"] = str(cores)
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"]
     # a trial can wedge (observed once at 32 slots: a python worker
@@ -473,22 +486,40 @@ def main() -> None:
     trials = int(os.environ.get("EMBER_SCALING_TRIALS", "3"))
 
     mode = os.environ.get("EMBER_SCALING_MODE", "threads")
-    apc_note = (
-        "\nJVM sizing: ActiveProcessorCount=N per level (the default;"
-        " EMBER_SCALING_APC=0 opts out) — each level's JVM sees exactly"
-        " its configured core allotment and sizes GC/service pools for"
-        " it, the way an executor container does on a real cluster;"
-        " without it the JVM at every level sizes its pools for all"
-        " host cores, billing the narrow levels extra service CPU.\n"
-        if os.environ.get("EMBER_SCALING_APC", "1") != "0"
-        else ""
-    )
-    md = f"""# BENCH — scaling-efficiency evidence ({date.today().isoformat()})
+    if mode == "executors":
+        proto_line = (
+            "parallelism levels — `local-cluster[N,1,...]`, i.e. N"
+            " separate SINGLE-CORE executor JVMs (own heap, own GC, own"
+            " python workers, shuffle over the network stack), the"
+            " faithful sandbox analog of \"N executors\": going 1 -> 4"
+            " adds three more IDENTICAL executors, exactly like a"
+            " cluster autoscale, instead of resizing one JVM from 1 to"
+            " 4 cores as thread mode does"
+        )
+        apc_note = (
+            "\nJVM sizing: every executor JVM runs with"
+            " ActiveProcessorCount=1 at BOTH levels (it is a single-core"
+            " executor container); the driver JVM is the same at both"
+            " levels, as on a real cluster.\n"
+        )
+    else:
+        proto_line = "parallelism levels (local[N] vs local[4N])"
+        apc_note = (
+            "\nJVM sizing: ActiveProcessorCount=N per level (the default;"
+            " EMBER_SCALING_APC=0 opts out) — each level's JVM sees exactly"
+            " its configured core allotment and sizes GC/service pools for"
+            " it, the way an executor container does on a real cluster;"
+            " without it the JVM at every level sizes its pools for all"
+            " host cores, billing the narrow levels extra service CPU.\n"
+            if os.environ.get("EMBER_SCALING_APC", "1") != "0"
+            else ""
+        )
+    md = f"""# BENCH — scaling-efficiency evidence, mode: {mode} ({date.today().isoformat()})
 {apc_note}
 
 north_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors; sandbox evidence per the task brief: the same ER job at two
-parallelism levels (local[N] vs local[4N]) on the same input, in
+{proto_line} on the same input, in
 separate JVMs (mode: {mode}, best of {trials} trials per level — the
 box is a shared host with ±15-30% interference; the minimum
 approximates the uncontended cost, applied identically to each level).
@@ -558,8 +589,9 @@ Two efficiency readings, both reported:
         " ENT[:lvl:lvl...][,ENT2[:...]] [default levels...]`"
         " (exclusive box; EMBER_SCALING_TRIALS sets trials).\n"
     )
-    update_section("scaling", md)
-    print("updated BENCH.md [scaling] section")
+    key = "scaling" if mode == "threads" else f"scaling_{mode}"
+    update_section(key, md)
+    print(f"updated BENCH.md [{key}] section")
 
 
 if __name__ == "__main__":
