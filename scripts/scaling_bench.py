@@ -78,11 +78,53 @@ def _default_conf(mode: str) -> str:
     each executor JVM sizes pools for all 32 host cores."""
     conf = (
         "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
-        "spark.sql.shuffle.partitions=32"
+        "spark.sql.shuffle.partitions=32;"
+        # AQE partition COALESCING off for the scaling profile (AQE
+        # itself stays on for skew splitting): the profile's premise is
+        # a fixed 32-wide shuffle at every level, but AQE was observed
+        # re-coalescing the block stage's pair-generation shuffle to 13
+        # ~56MB tasks — on 4 slots that is 3.25 waves with a 3-idle-core
+        # tail (~5s of the stage wall lost to wave quantization), while
+        # at 32 slots parallelismFirst forbids coalescing below 32, so
+        # the narrow levels were quantized and the wide ones were not:
+        # a per-level physical-plan difference, exactly what the fixed-
+        # width profile exists to prevent.
+        "spark.sql.adaptive.coalescePartitions.enabled=false"
     )
     if mode == "executors":
         conf += ";spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=1"
     return conf
+
+
+def _cpuset(cores: int) -> str | None:
+    """The taskset cpu list for a trial at `cores` slots, or None when
+    pinning is disabled (EMBER_SCALING_PIN=0) — cores 0..N-1 (this
+    box: 32 physical cores, no SMT, one NUMA node, so the list is
+    unambiguous).
+
+    Pinning the trial's WHOLE process tree (JVM + python UDF workers)
+    to exactly N cores is the OS-level counterpart of the protocol's
+    ActiveProcessorCount=N: a real executor container is cpuset-bound
+    (YARN cgroups / K8s cpu limits), and its python workers burn THEIR
+    cpu inside that same bound. Unpinned local[N] caps only task
+    slots — the round-1..4 evidence documents the level-1 process tree
+    consuming ~1.34 cores (python workers + JVM service threads beyond
+    the slot cap), which deflates T_1 and with it the nominal ratio;
+    the cpu-normalized reading corrected that arithmetically, and the
+    0.95 kernel control (scripts/kernel_scaling.py) already measures
+    pinned OS processes for the same reason. Pinning makes the
+    correction physical, so nominal and cpu-normalized converge
+    instead of bracketing. Disclosed distortion, both directions: the
+    driver's scheduling threads live inside the cpuset too (a real
+    cluster driver is a separate machine), which taxes the narrow
+    level proportionally more — it slightly RAISES the ratio; Spark
+    task-slot count still equals N, so there is no oversubscription
+    hiding latency. Generation and JVM startup also run pinned (slower
+    at narrow levels) but are excluded from both the timed window and
+    the CPU window."""
+    if os.environ.get("EMBER_SCALING_PIN", "1") == "0":
+        return None
+    return f"0-{cores - 1}" if cores > 1 else "0"
 
 
 def _protocol() -> dict:
@@ -96,6 +138,10 @@ def _protocol() -> dict:
     return {
         "apc": os.environ.get("EMBER_SCALING_APC", "1"),
         "extra_conf": os.environ.get("EMBER_EXTRA_CONF", _default_conf(mode)),
+        # cpuset pinning on/off is part of the experiment's identity;
+        # the concrete core list is per-level (derived from `cores`),
+        # so the flag — not the list — is the protocol field
+        "pin": "cpuset" if os.environ.get("EMBER_SCALING_PIN", "1") != "0" else "none",
     }
 
 
@@ -160,6 +206,12 @@ def run_trial(cores: int, entities: int) -> dict:
     if mode != "executors" and os.environ.get("EMBER_SCALING_APC", "1") != "0":
         env["EMBER_APC"] = str(cores)
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--er-only"]
+    cpus = _cpuset(cores)
+    if cpus is not None:
+        # bind the trial's whole process tree (JVM, python workers) to
+        # exactly N cores — the physical realization of "an N-core
+        # executor container"; see _cpuset for the full argument
+        cmd = ["taskset", "-c", cpus] + cmd
     # a trial can wedge (observed once at 32 slots: a python worker
     # slept on its socket while the JVM task waited on Arrow output —
     # both sides blocked forever) or die; either way retry ONCE with a
@@ -513,6 +565,32 @@ def main() -> None:
             " host cores, billing the narrow levels extra service CPU.\n"
             if os.environ.get("EMBER_SCALING_APC", "1") != "0"
             else ""
+        )
+    if os.environ.get("EMBER_SCALING_PIN", "1") != "0":
+        apc_note += (
+            "\nCPU budgeting: each trial's WHOLE process tree (JVM +"
+            " python UDF workers) is cpuset-pinned via `taskset -c"
+            " 0..N-1` to exactly its N cores (32 physical cores, no SMT,"
+            " one NUMA node — the list is unambiguous). This is the"
+            " OS-level counterpart of ActiveProcessorCount=N and the"
+            " physical form of the executor-container boundary a real"
+            " cluster enforces with YARN cgroups / K8s cpu limits."
+            " Earlier rounds documented unpinned local[1] consuming"
+            " ~1.34 cores (python workers and JVM service threads run"
+            " beyond the task-slot cap), deflating T_N and with it the"
+            " nominal ratio; the cpu-normalized reading corrected that"
+            " arithmetically, and the 0.95 kernel-scaling control"
+            " already measured pinned OS processes for the same reason."
+            " Under pinning the two readings measure the same physical"
+            " budget and should nearly coincide — both are still"
+            " reported. Disclosed residual distortion: the driver's"
+            " scheduling threads share the cpuset (a cluster driver is"
+            " a separate machine), which taxes the narrow level"
+            " proportionally more and slightly raises the ratio; corpus"
+            " generation and JVM startup also run pinned (slower at"
+            " narrow levels) but are excluded from both the timed and"
+            " the CPU window. EMBER_SCALING_PIN=0 restores the unpinned"
+            " protocol.\n"
         )
     md = f"""# BENCH — scaling-efficiency evidence, mode: {mode} ({date.today().isoformat()})
 {apc_note}
