@@ -68,16 +68,27 @@ def _trial_log_path() -> str:
 def _default_conf(mode: str) -> str:
     """The scaling job profile, applied IDENTICALLY at every level:
     fixed shuffle width (a cluster job's shuffle width is sized to the
-    data, not re-planned per executor count) and shuffle compression
-    off (shuffles live on tmpfs here — lz4 is pure CPU with no
-    bandwidth to buy; a network cluster turns it back on at both sizes
-    equally). Executor mode additionally pins EVERY executor JVM to
+    data, not re-planned per executor count), shuffle compression ON
+    (the production default; see the inline note — the old
+    compression-off rationale was measured wrong under pinning), AQE
+    coalescing off, LLC-resident Arrow batches. Executor mode
+    additionally pins EVERY executor JVM to
     ActiveProcessorCount=1: the north_rule's N->4N comparison is 4x as
     many IDENTICAL executors, so each single-core executor must size
     its GC/JIT/service pools for one core at BOTH levels — otherwise
     each executor JVM sizes pools for all 32 host cores."""
     conf = (
-        "spark.shuffle.compress=false;spark.shuffle.spill.compress=false;"
+        # shuffle compression ON (Spark's default, what every
+        # production cluster runs). Rounds 2-4 ran it OFF on the
+        # argument "shuffles live on tmpfs, lz4 is pure CPU with no
+        # bandwidth to buy" — measured wrong under cpuset pinning:
+        # tmpfs IS DRAM, so an uncompressed shuffle streams 3-4x the
+        # bytes through the one memory controller every level shares,
+        # and the pinned 4-core level's pure-JVM block stage inflated
+        # +79% in CPU (79.8 -> 143.2 core-s) from exactly those
+        # stalls. Compression trades a few lz4 core-seconds for that
+        # bandwidth at every level identically.
+        "spark.shuffle.compress=true;spark.shuffle.spill.compress=true;"
         "spark.sql.shuffle.partitions=32;"
         # AQE partition COALESCING off for the scaling profile (AQE
         # itself stays on for skew splitting): the profile's premise is
@@ -89,7 +100,19 @@ def _default_conf(mode: str) -> str:
         # the narrow levels were quantized and the wide ones were not:
         # a per-level physical-plan difference, exactly what the fixed-
         # width profile exists to prevent.
-        "spark.sql.adaptive.coalescePartitions.enabled=false"
+        "spark.sql.adaptive.coalescePartitions.enabled=false;"
+        # Arrow batches sized to stay LLC-resident through the
+        # JVM<->python handoff: at the default 10k-row batches the
+        # prepare stage holds ~10-20 MB in flight per task — times
+        # 8 concurrent sides on a pinned 4-core set that is far past
+        # the shared LLC, and prepare's CPU inflated +47% (210 -> 308
+        # core-s) from cache churn; 2048-row batches (~2-4 MB) keep
+        # the handoff cache-resident (the same physics as the scoring
+        # kernel's chunking, which lifted the pinned kernel control
+        # from 0.83 to 0.95). Probe measurements, pinned 4-core 400k:
+        # prepare 308 -> 243 core-s, block 143 -> 125, er_total wall
+        # 185.8 -> 161.7.
+        "spark.sql.execution.arrow.maxRecordsPerBatch=2048"
     )
     if mode == "executors":
         conf += ";spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=1"
@@ -189,8 +212,9 @@ def run_trial(cores: int, entities: int) -> dict:
     # silently halve the sweep's trial budget
     env["EMBER_BENCH_ER_TRIALS"] = "1"
     # the scaling job profile, applied IDENTICALLY at every level
-    # (see _default_conf): fixed shuffle width 32, shuffle compression
-    # off; executor mode pins each executor JVM to APC=1.
+    # (see _default_conf): fixed shuffle width 32, compression on, AQE
+    # coalescing off, LLC-resident Arrow batches; executor mode pins
+    # each executor JVM to APC=1.
     env.setdefault("EMBER_EXTRA_CONF", _default_conf(mode))
     # THREADS mode: size the one shared JVM like an N-core executor
     # container (ActiveProcessorCount=N) — on a real cluster every
@@ -617,9 +641,17 @@ Job profile, applied IDENTICALLY at every level (a controlled scaling
 experiment varies ONLY the parallelism): fixed shuffle width 32 (a
 cluster job's shuffle width is sized to the data, not re-planned per
 executor count — per-level widths would compare two different physical
-plans) and shuffle compression off (shuffles live on tmpfs in this
-sandbox, so lz4 is pure CPU overhead with no bandwidth to buy; a
-network cluster re-enables it at both sizes equally).
+plans); shuffle compression ON (the production default — earlier
+rounds ran it off arguing "tmpfs shuffles have no bandwidth to buy",
+which cpuset-pinned profiling disproved: tmpfs IS DRAM, and the
+uncompressed block-stage shuffle inflated the pinned 4-core level's
+CPU +79% in pure memory stalls); AQE partition coalescing off (AQE
+was re-coalescing narrow-level shuffles to fewer tasks while wide
+levels kept 32 — a per-level plan difference; AQE itself stays on);
+Arrow batches capped at 2048 rows so the JVM<->python handoff stays
+LLC-resident at every level (default 10k-row batches thrashed the
+shared cache on the pinned narrow levels — the same physics as the
+scoring kernel's chunking).
 
 Two efficiency readings, both reported:
 
