@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ember_spark.functions.hashing import make_hyperplane_bands_udf, simhash64_df
 from ember_spark.functions.similarity import (
     cosine_sim,
-    cosine_sim_fixed,
+    dot_fixed,
     hash_tokens,
     jaccard_from_hashed,
     token_jaccard,
@@ -311,12 +311,31 @@ def embedding_neardup(
     cands = _pairs_from_keys(banded, "id", "block_key").dropDuplicates(
         ["id_l", "id_r"]
     )
-    l = base.select(F.col("id").alias("id_l"), F.col("e").alias("e_l"))
-    r = base.select(F.col("id").alias("id_r"), F.col("e").alias("e_r"))
+    # per-RECORD norm, computed once before the pair join. Two reasons:
+    # (1) scale — the norm is a record quantity; inside the join it was
+    # recomputed twice per candidate pair (2*dim multiplies x pairs);
+    # (2) codegen — 3*dim unrolled element_at terms fused into the
+    # broadcast-join consume overflow the JVM's 64KB generated-method
+    # limit, and Spark's compile-failure fallback then interprets the
+    # WHOLE verify stage (observed: "Code grows beyond 64 KB" at
+    # dim=64). With norms hoisted, the per-pair expression is a single
+    # dim-term dot, which compiles. Float-identical to the old form:
+    # same unrolled left-to-right sums, same dot/(na*nb) division.
+    withn = base.withColumn("n", F.sqrt(dot_fixed(F.col("e"), F.col("e"), dim)))
+    l = withn.select(
+        F.col("id").alias("id_l"), F.col("e").alias("e_l"), F.col("n").alias("n_l")
+    )
+    r = withn.select(
+        F.col("id").alias("id_r"), F.col("e").alias("e_r"), F.col("n").alias("n_r")
+    )
+    dot = dot_fixed(F.col("e_l"), F.col("e_r"), dim)
+    cos = F.when(
+        (F.col("n_l") == 0) | (F.col("n_r") == 0), F.lit(0.0)
+    ).otherwise(dot / (F.col("n_l") * F.col("n_r")))
     return (
         cands.join(l, "id_l")
         .join(r, "id_r")
-        .withColumn("cos", cosine_sim_fixed(F.col("e_l"), F.col("e_r"), dim))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_l", "id_r", "cos")
     )

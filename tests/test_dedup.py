@@ -216,3 +216,36 @@ def test_ivf_centroids_empty_corpus_fails_cleanly(spark, embs_moderate):
     empty = embs_moderate.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="empty"):
         train_centroids(empty, n_centroids=8)
+
+
+def test_embedding_neardup_verify_stage_compiles(spark):
+    """Regression: the pair-verify cosine used to unroll 3*dim
+    element_at terms (dot + both norms) INTO the broadcast-join
+    consume; at dim=64 (the driver embeddings table's width) that
+    overflowed the JVM's 64KB generated-method limit — Spark logged
+    "Code grows beyond 64 KB" and silently interpreted the whole
+    verify stage. Norms are now hoisted per record, leaving one
+    dim-term dot per pair. codegen.fallback=false turns any future
+    overflow back into a hard error instead of a silent slow path."""
+    import numpy as np
+
+    from ember_spark.operators.dedup import embedding_neardup
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(48):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        if i % 3 == 0:  # plant a near-dup so the verify path has work
+            w = v + 0.1 * rng.normal(size=64)
+            w /= np.linalg.norm(w)
+            rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        out = embedding_neardup(df, threshold=0.5, bands=16, rows=3)
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
