@@ -281,7 +281,12 @@ class ERPipeline:
             key = "url" if "url" in base.columns else base.columns[0]
             n = base.select(key).count()
             if n > target:
-                k = max(int(n // target), 1)
+                # ceil, not floor: floor gave k=1 (no sampling at all)
+                # for target < n < 2*target, silently paying the full
+                # second tokenize pass the knob exists to avoid; ceil
+                # keeps the expected sample at or below the target for
+                # every n > target.
+                k = -(-n // target)
                 base = base.filter(
                     F.pmod(F.xxhash64(F.col(key)), F.lit(k)) == 0
                 )

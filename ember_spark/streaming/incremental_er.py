@@ -454,10 +454,16 @@ class CrossBatchResolver:
         out, fresh_banded = _resolve_micro_batch_with_fresh(
             pages, corpus, self.matcher, **self.kwargs
         )
-        # materialize the OUTPUT before writing the fresh rows: both
-        # derive from the same lineage, and the write must not recompute
-        # the scoring joins a second time
-        out = out.localCheckpoint()
+        # No checkpoint of `out` here: the expensive per-batch work is
+        # already materialized upstream (`assigned`, the re-prepared
+        # `un`, and the connected-components result are each
+        # checkpointed inside _resolve_micro_batch_with_fresh), so this
+        # write and the sink's later write of `out` each re-run only
+        # cheap joins of those materialized tables. A per-batch
+        # localCheckpoint of the output would buy no recompute savings
+        # while accumulating block-manager state across a long-running
+        # stream (blocks free only when the ContextCleaner notices the
+        # sink dropped the DataFrame).
         fresh_banded.write.mode("overwrite").parquet(
             f"{self.fresh_dir}/batch={batch_id}"
         )

@@ -51,6 +51,40 @@ def max_reducer_share(pairs, key: str, partitions: int) -> float:
     return max(r["n"] for r in counts) / total if total else 0.0
 
 
+def salted_max_reducer_share(
+    pairs, hot_ids, salt: int, partitions: int
+) -> float:
+    """MEASURED reducer distribution of the hot-key-split plan's fat
+    side for the id_l payload join — the same quantity
+    `max_reducer_share` measures for the plain plan, not the idealized
+    share/salt. Hot rows shuffle on (id_l, _salt) with
+    _salt = xxhash64(id_r) % salt (salted_join's exact key derivation,
+    skew.py:59 with salt_cols=['id_r'] per blocking.py:375); cold rows
+    shuffle on id_l alone (the split's plain sub-join). Reported: the
+    hottest task of EITHER sub-join's shuffle as a share of all rows."""
+    total = pairs.count()
+    if not total:
+        return 0.0
+    is_hot = F.col("id_l").isin(list(hot_ids))
+
+    def worst(df, cols) -> int:
+        counts = (
+            df.repartition(partitions, *cols)
+            .withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return max((r["n"] for r in counts), default=0)
+
+    hot_rows = pairs.filter(is_hot).withColumn(
+        "_salt", F.pmod(F.xxhash64("id_r"), F.lit(salt))
+    )
+    worst_hot = worst(hot_rows, [F.col("id_l"), F.col("_salt")])
+    worst_cold = worst(pairs.filter(~is_hot), [F.col("id_l")])
+    return max(worst_hot, worst_cold) / total
+
+
 def salted_bench(spark, n_pairs: int, hot_frac: float = 0.3) -> str:
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_ids = max(n_pairs // 4, 1000)
@@ -124,7 +158,7 @@ def salted_bench(spark, n_pairs: int, hot_frac: float = 0.3) -> str:
             # the non-adaptive key) — restore by unsetting, not set(None)
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert n0 == n1 == n2 == n_pairs, (n0, n1, n2, n_pairs)
-    salted_share = share / 16
+    salted_share = salted_max_reducer_share(pairs, hot["id_l"], 16, parts)
     pairs.unpersist(), corpus.unpersist()
     return "\n".join([
         "## Salted payload attach vs a planted hub key",
@@ -145,7 +179,8 @@ def salted_bench(spark, n_pairs: int, hot_frac: float = 0.3) -> str:
         f" {plain_w:.2f}s | {share:.1%} (one task owns the hub) |",
         f"| salted shuffle join (hot-key split, salt=16) |"
         f" {salted_w:.2f}s |"
-        f" {salted_share:.1%} (hub spread across 16 reducers) |",
+        f" {salted_share:.1%} (measured on the split plan's own keys:"
+        f" hot rows on (id_l, xxhash64(id_r)%16), cold rows on id_l) |",
         f"| one-job hub census (`hot_pair_keys`, reusable across"
         f" attach calls via `salt_hot_keys`) | {census_w:.2f}s | — |",
         "",
