@@ -73,7 +73,20 @@ def lsh_topk(
     share >=1 probed bucket; exact cosine re-ranks. Recall grows with
     bands and probe_bits; per-query cost stays ~bucket-sized."""
     if dim is None:
-        dim = int(corpus.select(F.size(F.col(emb_col)).alias("d")).first()["d"])
+        # infer from the first NON-NULL embedding: first() on a null
+        # row gave dim=-1 (F.size(null)), making every banding UDF row
+        # fail its length check and the query silently return empty
+        row = (
+            corpus.filter(F.col(emb_col).isNotNull())
+            .select(F.size(F.col(emb_col)).alias("d"))
+            .first()
+        )
+        if row is None:
+            raise ValueError(
+                "lsh_topk: cannot infer dim from an empty or"
+                " all-null-embedding corpus; pass dim="
+            )
+        dim = int(row["d"])
     corpus_keys = make_hyperplane_bands_udf(dim, bands, rows)
     query_keys = make_hyperplane_bands_udf(dim, bands, rows, probe_bits=probe_bits)
     sig_c = corpus.select(
@@ -118,7 +131,10 @@ def train_centroids(
     so `sample_size` stays driver-safe at any corpus scale. Returns
     (n_centroids, dim) float64, rows L2-normalized."""
     samp = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"))
+        # null embeddings carry no geometry and would poison the
+        # np.asarray matrix build (ragged object array)
+        corpus.filter(F.col(emb_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"))
         .withColumn("_h", F.xxhash64(F.col("_id"), F.lit(seed)))
         .orderBy("_h")
         .limit(sample_size)
@@ -205,6 +221,17 @@ def ivf_topk(
             corpus, n_centroids, emb_col, id_col,
             sample_size=sample_size, seed=seed,
         )
+    # drop null / wrong-width embeddings BEFORE the assignment UDFs:
+    # np.stack over a batch containing None raises an opaque shape
+    # error and fails the whole job, where the sibling LSH path just
+    # drops such rows (its banding UDF length-checks per row) — same
+    # tolerance here, same semantics: an invalid vector can be neither
+    # a neighbor nor a query.
+    valid = F.col(emb_col).isNotNull() & (
+        F.size(F.col(emb_col)) == int(centroids.shape[1])
+    )
+    corpus = corpus.filter(valid)
+    queries = queries.filter(valid)
     nearest_udf, topn_udf = _assign_udfs(centroids, n_probe)
     inv = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -278,10 +278,19 @@ def build_benchmark_pairs(
         # ref :72-76 — per-cluster quota from the LEFT corpus's cluster
         # count; one tiny driver-side action, same as the reference's
         n_clusters = base_l.select("cluster").distinct().count()
+        # a clusterless corpus (e.g. an empty 'extra' split when the
+        # input had fewer qualifying clusters than the suite's split
+        # sizes) has no pairs: zero quotas let the empty dataflow
+        # produce the correctly-typed empty result instead of raising
+        # ZeroDivisionError on the quota derivation
         if total_pos is not None:
-            pairs_per_cluster = math.ceil(total_pos / n_clusters)
+            pairs_per_cluster = (
+                math.ceil(total_pos / n_clusters) if n_clusters else 0
+            )
         if total_neg is not None:
-            neg_per_cluster = math.ceil(total_neg / n_clusters)
+            neg_per_cluster = (
+                math.ceil(total_neg / n_clusters) if n_clusters else 0
+            )
     neg_per_cluster = (
         neg_per_cluster if neg_per_cluster is not None else 3 * pairs_per_cluster
     )

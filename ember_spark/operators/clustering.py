@@ -11,8 +11,21 @@ truncated every iteration with localCheckpoint (SURVEY.md §4 custom-op
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: serializes the distributed loop's session-conf window (shuffle
+#: width + AQE) across threads: two concurrent CC calls — e.g. two
+#: streaming micro-batches — interleaving their save/set/restore would
+#: otherwise capture each other's temporary values and leave the
+#: session conf permanently wrong after both finish. Queries OUTSIDE
+#: this module that plan during a CC loop still see the loop's conf
+#: (session conf is global by design); callers running concurrent
+#: unrelated queries should pass `partitions=` and accept AQE-off
+#: windows, or use separate sessions.
+_LOOP_CONF_LOCK = threading.Lock()
 
 
 def _min_with_self(edges: DataFrame) -> DataFrame:
@@ -110,15 +123,16 @@ def connected_components(
     singletons themselves). Node id column type must be orderable
     (long or string).
 
-    `members_only`: emit rows ONLY for nodes of non-self-loop edges —
-    exactly the ids whose component differs from themselves plus the
-    roots' members. A caller that re-attaches components to a full id
-    table with a LEFT join + coalesce(component, id) (the pipeline's
-    cluster stage) reconstructs every omitted self-mapping for free,
-    so the nodes-distinct shuffle, the selfmap union and the input
-    re-checkpoint this flag skips were pure overhead for that shape.
-    Default False keeps the full contract (self-loop-only nodes map to
-    themselves).
+    `members_only`: emit rows ONLY for nodes whose component differs
+    from themselves — component roots and self-loop-only nodes are
+    OMITTED (identically on the local and distributed paths). A caller
+    that re-attaches components to a full id table with a LEFT join +
+    coalesce(component, id) (the pipeline's cluster stage, the
+    streaming resolver) reconstructs every omitted self-mapping for
+    free, so the nodes-distinct shuffle, the selfmap union and the
+    input re-checkpoint this flag skips were pure overhead for that
+    shape. Default False keeps the full contract (self-loop-only nodes
+    map to themselves).
 
     `assume_distinct`: skip iteration 0's dedup shuffle when the edge
     list is distinct by construction (duplicates would only cost time,
@@ -172,13 +186,20 @@ def connected_components(
     """
     spark = edges.sparkSession
 
+    # project FIRST so the checkpoint fingerprint below hashes the
+    # graph actually being solved: hashing the raw input DataFrame
+    # would give two calls with different src/dst column choices the
+    # same fingerprint, and the second would silently resume the first
+    # graph's iterations.
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+
     reuse = True
     if checkpoint_dir is not None:
         if input_fp is not None:
             in_fp = input_fp
         else:
             try:
-                in_fp = f"{edges.semanticHash() & 0xFFFFFFFF:08x}"
+                in_fp = f"{raw.semanticHash() & 0xFFFFFFFF:08x}"
             except Exception:
                 import uuid
 
@@ -212,10 +233,19 @@ def connected_components(
     # this checkpoint — without it each reference re-executes the whole
     # upstream pipeline (blocking + scoring) once more. members_only
     # has a single consumer (iteration 0, itself checkpointed), so the
-    # extra checkpoint of the same rows is skipped there.
-    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # extra checkpoint of the same rows is skipped there. With a
+    # checkpoint_dir the input goes to the SAME reliable storage as the
+    # iterations: a localCheckpoint here would leave the final
+    # nodes/selfmap assembly reading executor-local blocks — the exact
+    # executor-loss failure the durable mode exists to survive.
     if not members_only:
-        raw = raw.localCheckpoint(eager=False)
+        if checkpoint_dir is not None:
+            in_path = f"{ckpt_root}/cc_input"
+            if not (reuse and _hdfs_exists(f"{in_path}/_SUCCESS")):
+                raw.write.mode("overwrite").parquet(in_path)
+            raw = spark.read.parquet(in_path)
+        else:
+            raw = raw.localCheckpoint(eager=False)
         nodes = raw.select(F.col("src").alias("id")).union(
             raw.select(F.col("dst").alias("id"))
         ).distinct()
@@ -288,6 +318,13 @@ def connected_components(
                     ru, rv = rv, ru
                 parent[rv] = ru
         ids = sorted(set(srcs).union(dsts))
+        if members_only:
+            # match the distributed star-forest semantics EXACTLY: a
+            # root maps to itself and is OMITTED (the caller's left
+            # join + coalesce reconstructs it). Emitting root rows here
+            # would make the members_only row set depend on which side
+            # of local_threshold the input landed.
+            ids = [i for i in ids if find(i) != i]
         id_type = e.schema["src"].dataType
         import pandas as pd
 
@@ -303,9 +340,8 @@ def connected_components(
             ),
         )
         if members_only:
-            # `ids` covers every node of every non-self-loop edge, and
-            # find() maps each to its component min — exactly the
-            # members_only contract, no cluster-side assembly needed
+            # `ids` was filtered to non-roots above, matching the
+            # distributed star forest row-for-row
             return members
         # same final assembly as the distributed path: self-loop-only
         # nodes appear in `nodes` but not in `e` and map to themselves
@@ -325,27 +361,28 @@ def connected_components(
     # loop's shuffle width is already sized here.
     conf_key = "spark.sql.shuffle.partitions"
     aqe_key = "spark.sql.adaptive.enabled"
-    old_parts = spark.conf.get(conf_key)
-    old_aqe = spark.conf.get(aqe_key)
-    cc_parts = partitions or max(8, min(int(old_parts), prev[0] // 500_000 + 1))
-    spark.conf.set(conf_key, str(cc_parts))
-    spark.conf.set(aqe_key, "false")
-    try:
-        for it in range(1, max_iterations + 1):
-            e = persist_iter(
-                _small_star(_large_star(e, cc_parts), cc_parts), it
-            )
-            cur = _checksum(e)
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} iterations"
-            )
-    finally:
-        spark.conf.set(conf_key, old_parts)
-        spark.conf.set(aqe_key, old_aqe)
+    with _LOOP_CONF_LOCK:
+        old_parts = spark.conf.get(conf_key)
+        old_aqe = spark.conf.get(aqe_key)
+        cc_parts = partitions or max(8, min(int(old_parts), prev[0] // 500_000 + 1))
+        spark.conf.set(conf_key, str(cc_parts))
+        spark.conf.set(aqe_key, "false")
+        try:
+            for it in range(1, max_iterations + 1):
+                e = persist_iter(
+                    _small_star(_large_star(e, cc_parts), cc_parts), it
+                )
+                cur = _checksum(e)
+                if cur == prev:
+                    break
+                prev = cur
+            else:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iterations} iterations"
+                )
+        finally:
+            spark.conf.set(conf_key, old_parts)
+            spark.conf.set(aqe_key, old_aqe)
 
     if checkpoint_dir is not None and cleanup:
         # converged: iterations before the fixpoint are dead weight —

@@ -294,7 +294,20 @@ def embedding_neardup(
             .select("id_l", "id_r", "cos")
         )
     if dim is None:
-        dim = int(emb_df.select(F.size(F.col(emb_col)).alias("d")).first()["d"])
+        # first NON-NULL row: F.size(null) = -1 would silently disable
+        # every banding key; an empty corpus raises clearly instead of
+        # TypeError on first()'s None
+        row = (
+            emb_df.filter(F.col(emb_col).isNotNull())
+            .select(F.size(F.col(emb_col)).alias("d"))
+            .first()
+        )
+        if row is None:
+            raise ValueError(
+                "embedding_neardup: cannot infer dim from an empty or"
+                " all-null-embedding input; pass dim="
+            )
+        dim = int(row["d"])
     keys_udf = make_hyperplane_bands_udf(dim, bands, rows)
     base = ensure_parallelism(emb_df).select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("e")

@@ -345,7 +345,15 @@ def _resolve_micro_batch_with_fresh(
         .withColumn("score", matcher.score_col())
     )
     edges = scored_pairs.filter(F.col("score") >= threshold).select("id_l", "id_r")
-    comp = connected_components(edges).withColumnRenamed("id", "rid")
+    # members_only: the left_outer + coalesce below reconstructs every
+    # self-mapping, and the flag also skips CC's input re-checkpoint —
+    # which, called once per micro-batch, would otherwise accumulate
+    # one dead edge-set-sized block store entry per batch for the
+    # stream's lifetime. assume_distinct: `cand` is canonical
+    # (id_l < id_r) and dropDuplicates'd above.
+    comp = connected_components(
+        edges, assume_distinct=True, members_only=True
+    ).withColumnRenamed("id", "rid")
     fresh = un.select("url", "rid").join(comp, "rid", "left_outer").select(
         "url",
         # merged group: min rid of the component; singleton: own rid —

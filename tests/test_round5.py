@@ -154,3 +154,69 @@ def test_hot_token_census_samples_just_past_target(spark):
     # sampled census agree on the hot set (df-fraction invariant under
     # uniform sampling) — the pipeline-level behavior the knob promises
     assert pipe.hot_token_list(docs) == ["x"]
+
+
+def test_cc_members_only_identical_across_local_and_distributed(spark):
+    """Roots are omitted on BOTH paths; the row set must not depend on
+    which side of local_threshold the input lands."""
+    from ember_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["a", "b"]
+    )
+    local = connected_components(edges, "a", "b", members_only=True)
+    dist = connected_components(
+        edges, "a", "b", members_only=True, local_threshold=0
+    )
+    rows_l = {(r["id"], r["component"]) for r in local.collect()}
+    rows_d = {(r["id"], r["component"]) for r in dist.collect()}
+    assert rows_l == rows_d == {(2, 1), (3, 1), (11, 10)}  # no (1,1)/(10,10)
+
+
+def test_cc_checkpoint_fingerprint_sees_column_choice(spark, tmp_path):
+    """Same DataFrame, different dst column: the second call must not
+    resume the first graph's iterations."""
+    from ember_spark.operators.clustering import connected_components
+
+    df = spark.createDataFrame([(1, 2, 3), (4, 5, 6)], ["a", "b", "c"])
+    r1 = connected_components(df, "a", "b", checkpoint_dir=str(tmp_path))
+    got1 = {(r["id"], r["component"]) for r in r1.collect()}
+    r2 = connected_components(df, "a", "c", checkpoint_dir=str(tmp_path))
+    got2 = {(r["id"], r["component"]) for r in r2.collect()}
+    assert got1 == {(1, 1), (2, 1), (4, 4), (5, 4)}
+    assert got2 == {(1, 1), (3, 1), (4, 4), (6, 4)}
+
+
+def test_benchmark_totals_mode_empty_corpus(spark):
+    """totals mode on a clusterless corpus returns the empty pair
+    table instead of ZeroDivisionError on the per-cluster quota."""
+    from ember_spark.operators.benchmark import build_benchmark_pairs
+
+    empty = spark.createDataFrame(
+        [], "url string, text string, lang string, cluster_id long"
+    )
+    out = build_benchmark_pairs(empty, total_pos=500, total_neg=1500)
+    assert out.count() == 0
+    assert "label" in out.columns
+
+
+def test_ann_null_and_empty_embedding_handling(spark):
+    """LSH/IVF tolerate null-embedding rows (dropped, like the LSH
+    banding UDF already did) and fail clearly on an empty corpus."""
+    import pytest as _pytest
+
+    from ember_spark.operators.ann import ivf_topk, lsh_topk
+
+    rows = [(0, None)] + [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(16)]) for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # dim inference skips the null first row (was: dim=-1, silent empty)
+    out = lsh_topk(df, df.limit(5), k=3, bands=4, rows=2)
+    assert out.count() > 0
+    # IVF: null rows dropped before np.stack (was: opaque shape error)
+    out2 = ivf_topk(df, df.limit(5), k=3, n_centroids=4, n_probe=4)
+    assert out2.count() > 0
+    empty = df.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        lsh_topk(empty, df.limit(1), k=1)
