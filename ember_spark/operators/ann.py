@@ -25,6 +25,20 @@ from ember_spark.functions.hashing import make_hyperplane_bands_udf
 from ember_spark.functions.similarity import cosine_sim
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query ranking epilogue: deterministic top-k by
+    (cos desc, neighbor_id asc) — one definition so the tie-break and
+    output schema cannot drift between the three ANN variants."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,12 +61,7 @@ def brute_force_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_sim(F.col("q_emb"), F.col("c_emb")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -105,12 +114,7 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", cosine_sim(F.col("q_emb"), F.col("c_emb")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 # ------------------------------------------------------------- IVF
@@ -248,11 +252,4 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_sim(F.col("q_emb"), F.col("c_emb")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
