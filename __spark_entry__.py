@@ -1056,13 +1056,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             -- same gap-cumsum as ember_spark.streaming.sessionize_batch:
-            -- floor(epoch()) mirrors Spark's timestamp->long truncation, and
-            -- the cumulative SUM keeps its default RANGE frame so ts ties
+            -- epoch() keeps fractional seconds exactly like Spark's
+            -- timestamp->double cast (epoch microseconds are exact in a
+            -- double, so the > comparison agrees bit-for-bit), and the
+            -- cumulative SUM keeps its default RANGE frame so ts ties
             -- share one session in both engines
             WITH g AS (
                 SELECT user_id, ts, value,
-                       CASE WHEN floor(epoch(ts))::BIGINT
-                              - lag(floor(epoch(ts))::BIGINT, 1, 0) OVER (
+                       CASE WHEN epoch(ts)
+                              - lag(epoch(ts), 1, 0) OVER (
                                   PARTITION BY user_id ORDER BY ts) > 3600
                             THEN 1 ELSE 0 END AS new_session
                 FROM events

@@ -56,11 +56,18 @@ def evaluate_splits(
 
 
 def pairwise_prf(pred_pairs: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> dict:
-    """P/R/F1 of the positive class over a scored labeled pair table."""
+    """P/R/F1 of the positive class over a scored labeled pair table.
+
+    A NULL prediction (null text -> null features -> null score) counts
+    as not-matched: a label-1 pair with a null prediction is a FALSE
+    NEGATIVE. The raw `pred == 0` predicate evaluated null on such
+    rows, silently dropping them from every bucket and overstating
+    recall/F1 with no warning."""
+    pred = F.coalesce(F.col(pred_col), F.lit(0))
     row = pred_pairs.select(
-        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 1)).cast("long")).alias("tp"),
-        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 0)).cast("long")).alias("fp"),
-        F.sum(((F.col(pred_col) == 0) & (F.col(label_col) == 1)).cast("long")).alias("fn"),
+        F.sum(((pred == 1) & (F.col(label_col) == 1)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (F.col(label_col) == 0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (F.col(label_col) == 1)).cast("long")).alias("fn"),
     ).first()
     tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
     p = tp / (tp + fp) if tp + fp else 0.0

@@ -55,7 +55,15 @@ def strip_separators(c: Column) -> Column:
 
 def falsy_to_empty(c: Column, numeric: bool = False) -> Column:
     """``str(x or "")`` for a column: NULL -> '' (strings); for numeric
-    columns 0/0.0/False also collapse to '' per Python truthiness."""
+    columns 0/0.0/False also collapse to '' per Python truthiness.
+
+    Known byte-identity caveat (numeric path only): Spark's
+    cast-to-string renders doubles outside ~[1e-4, 1e16] and NaN
+    differently from Python's str() ('1.0E20' vs '1e+20', 'NaN' vs
+    'nan'). The reference serializes product ATTRIBUTE values (prices,
+    counts — build_ali_corpus.py), which sit squarely in the common
+    range where the two renderings agree; exotic magnitudes would need
+    a format UDF, deliberately not paid on this hot path."""
     if numeric:
         return F.when(c.isNull() | (c == 0), F.lit("")).otherwise(c.cast("string"))
     return F.coalesce(c.cast("string"), F.lit(""))

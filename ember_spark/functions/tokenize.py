@@ -21,22 +21,30 @@ def tokenize_ws(c: Column, lowercase: bool = True) -> Column:
 
 
 def tokenize_chars(c: Column) -> Column:
-    """Split a string into characters (array<string>), whitespace dropped."""
+    """Split a string into characters (array<string>), whitespace
+    dropped — ALL whitespace, not just the space character (tabs and
+    newlines used to survive as tokens, polluting Jaccard/blocking
+    sets with invisible differences)."""
     chars = F.split(c, "")
-    return F.filter(chars, lambda ch: (ch != "") & (ch != " "))
+    return F.filter(chars, lambda ch: (ch != "") & ~ch.rlike(r"^\s$"))
 
 
 def char_ngrams(c: Column, n: int = 2) -> Column:
     """Character n-grams over the normalized string (array<string>).
 
     Native implementation: substring windows via transform over a
-    sequence — no Python. Strings shorter than n yield the whole string
-    as the single token.
+    sequence — no Python. NON-EMPTY strings shorter than n yield the
+    whole string as the single token; the EMPTY string yields the
+    empty array (it used to yield [''], giving any two empty zh texts
+    Jaccard 1.0 and a shared blocking key — the ws tokenizer maps ''
+    to [] and the two paths must agree that empty text has no tokens).
+    Null stays null.
     """
     s = c
     length = F.length(s)
     idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.substring(s, i, n))
+    grams = F.transform(idx, lambda i: F.substring(s, i, n))
+    return F.when(length == 0, F.array().cast("array<string>")).otherwise(grams)
 
 
 def tokenize_auto(text: Column, lang: Column, zh_tokenizer: str = "bigram") -> Column:

@@ -9,12 +9,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True only when the Iceberg runtime is on the classpath AND at
+    least one Iceberg catalog is configured. The classpath check alone
+    is not enough: with the jar present but no spark.sql.catalog.*
+    configuration, writeTo(name) resolves against the default
+    non-Iceberg catalog and raises — and the parquet fallback this
+    gate exists to provide would never engage."""
     try:
         jvm = spark.sparkContext._jvm
         jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
-        return True
     except Exception:
         return False
+    try:
+        it = spark.sparkContext._jsc.sc().conf().getAll()
+        for kv in it:
+            k, v = kv._1(), kv._2()
+            if k.startswith("spark.sql.catalog.") and "iceberg" in v.lower():
+                return True
+    except Exception:
+        pass
+    return False
 
 
 def write_parquet(
@@ -36,11 +50,18 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 
 def write_table(df: DataFrame, name_or_path: str, mode: str = "overwrite") -> None:
-    """Iceberg `writeTo(...).createOrReplace()` when available, else a
-    parquet directory with identical layout (the driver oracle reads
-    parquet either way)."""
+    """Iceberg `writeTo(...)` when available, else a parquet directory
+    with identical layout (the driver oracle reads parquet either way).
+
+    `mode` is honored on BOTH paths: 'append' appends (createOrReplace
+    unconditionally would silently DESTROY existing table data on the
+    Iceberg path while the parquet path appended — the worst kind of
+    environment-dependent divergence), 'overwrite' replaces."""
     spark = df.sparkSession
     if iceberg_available(spark) and "/" not in name_or_path:
-        df.writeTo(name_or_path).createOrReplace()
+        if mode == "append":
+            df.writeTo(name_or_path).append()
+        else:
+            df.writeTo(name_or_path).createOrReplace()
     else:
         write_parquet(df, name_or_path, mode=mode)

@@ -45,8 +45,20 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             ts_list: list[int] = []  # microseconds
             vals: list[float] = []
             for pdf in pdfs:
-                ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
-                vals.extend(float(v) for v in pdf["value"])
+                for t, v in zip(pd.to_datetime(pdf["ts"]), pdf["value"]):
+                    if pd.isna(t):
+                        # a null ts carries no position on the timeline;
+                        # NaT.value is the int64-min sentinel, which
+                        # would otherwise mint a phantom year-1677
+                        # session. The batch analog's min/max/ordering
+                        # skip nulls the same way.
+                        continue
+                    ts_list.append(int(t.value) // 1000)
+                    # null value contributes 0 to the sum — the batch
+                    # analog's F.sum skips nulls identically (the one
+                    # divergence: an ALL-null session sums to 0.0 here,
+                    # NULL in batch)
+                    vals.append(0.0 if pd.isna(v) else float(v))
             order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
             cur = list(state.get) if state.exists else None
             for i in order:
@@ -57,6 +69,11 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                     rows.append((user_id, cur[0], cur[1], cur[2], cur[3]))
                     cur = [t_us, t_us, 1, v]
                 else:
+                    # a late event from an earlier micro-batch may
+                    # predate the stored session start; min() keeps
+                    # session_start honest (events within one batch
+                    # are sorted, so this only fires cross-batch)
+                    cur[0] = min(cur[0], t_us)
                     cur[1] = max(cur[1], t_us)
                     cur[2] += 1
                     cur[3] += v
@@ -83,10 +100,17 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Batch sessionization with the same semantics (window lag +
     gap-cumsum) — all sessions are 'closed' in batch."""
     w = Window.partitionBy("user_id").orderBy("ts")
+    # cast('double') keeps fractional seconds: the long cast truncated
+    # to whole seconds, silently merging sessions whose gap exceeded
+    # `gap_seconds` by less than a second — and disagreeing with the
+    # stream operator, which compares in microseconds. Epoch
+    # microseconds are exactly representable in a double, so the
+    # comparison is exact in every engine.
     with_gap = events.withColumn(
         "new_session",
         (
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1, 0).over(w)
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double"), 1, 0).over(w)
             > gap_seconds
         ).cast("int"),
     ).withColumn("session_id", F.sum("new_session").over(w))
