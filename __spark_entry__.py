@@ -1154,7 +1154,7 @@ def oracle_sql() -> dict[str, str]:
                  len(list_intersect(t, ['el','la','de','que','y','en','un','es','por','los'])) AS h_es
               FROM d)
             SELECT doc_id,
-                   CASE WHEN cjk * 2 >= len(text) THEN 'zh'
+                   CASE WHEN cjk * 2 >= len(text) AND len(text) > 0 THEN 'zh'
                         WHEN h_de >= greatest(h_en, h_es, 1) THEN 'de'
                         WHEN h_en >= greatest(h_es, 1) THEN 'en'
                         WHEN h_es >= 1 THEN 'es'
@@ -1165,11 +1165,12 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT doc_id, text, {toks} AS t,
                      len(text) AS n_chars,
+                     len(regexp_replace(text, '\\s', '', 'g')) AS n_nonws,
                      len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))
                        AS n_punct
               FROM documents),
             s AS (
-              SELECT doc_id, n_chars, n_punct, len(t) AS n_tokens,
+              SELECT doc_id, n_chars, n_nonws, n_punct, len(t) AS n_tokens,
                  len(list_intersect(t,
                    ['the','and','of','to','in','is','a','for','with','on',
                     'der','die','das','und','ist','ein','nicht','mit','für','von',
@@ -1178,7 +1179,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (
               SELECT doc_id, n_tokens,
                 CASE WHEN n_tokens = 0 THEN 0.0
-                     ELSE (n_chars - (n_tokens - 1))::DOUBLE / n_tokens END AS mean_token_len,
+                     ELSE n_nonws::DOUBLE / n_tokens END AS mean_token_len,
                 CASE WHEN n_chars = 0 THEN 0.0
                      ELSE n_punct::DOUBLE / n_chars END AS punct_ratio,
                 CASE WHEN n_tokens = 0 THEN 0.0

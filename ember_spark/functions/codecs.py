@@ -251,11 +251,21 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
             "audio decode for this format requires codec libs not present "
             "in this container (stdlib path covers PCM wav)"
         )
-    with wave.open(io.BytesIO(b)) as f:
-        rate = f.getframerate()
-        nch = f.getnchannels()
-        width = f.getsampwidth()
-        raw = f.readframes(f.getnframes())
+    try:
+        with wave.open(io.BytesIO(b)) as f:
+            rate = f.getframerate()
+            nch = f.getnchannels()
+            width = f.getsampwidth()
+            raw = f.readframes(f.getnframes())
+    except wave.Error as ex:
+        # a compressed RIFF/WAVE payload (mu-law, ADPCM...) passes the
+        # RIFF sniff but fails wave.open; re-raise at the DECLARED stub
+        # boundary — a bare wave.Error would be swallowed by feature
+        # extractors' generic fallback and silently become zeros
+        raise NotImplementedError(
+            f"audio decode for this wav encoding needs codec libs not"
+            f" present in this container (stdlib wave: {ex})"
+        ) from ex
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:

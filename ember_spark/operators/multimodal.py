@@ -241,6 +241,31 @@ def extract_image_features(
     return df.withColumn(out_col, fx(F.col(content_col)))
 
 
+def _stack_or_nan(col: pd.Series, dim: int) -> np.ndarray:
+    """Stack a batch of width-`dim` vectors, mapping NULL (or
+    wrong-width) rows to NaN rows. np.stack over a batch containing
+    None raises an opaque shape error and kills the whole stage; a
+    null vector should instead yield NaN features for ITS row
+    (left/outer joins legitimately produce them)."""
+    nan_row = np.full(dim, np.nan)
+    return np.stack([
+        nan_row
+        if x is None or len(x) != dim
+        else np.asarray(x, dtype=np.float64)
+        for x in col
+    ])
+
+
+def _pair_dim(a: pd.Series, b: pd.Series) -> int:
+    """Vector width shared by a pair batch: the first non-null row of
+    either side (0 only when every row of both sides is null)."""
+    for col in (a, b):
+        for x in col:
+            if x is not None:
+                return len(x)
+    return 0
+
+
 #: M5 pair-fusion feature names
 IMG_FEATURES = ["img_cos", "img_diff_l2", "img_hadamard_mean"]
 
@@ -255,8 +280,9 @@ def image_pair_features_udf():
         "img_cos double, img_diff_l2 double, img_hadamard_mean double"
     )
     def _feats(a: pd.Series, b: pd.Series) -> pd.DataFrame:
-        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
-        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        dim = _pair_dim(a, b)
+        A = _stack_or_nan(a, dim)
+        B = _stack_or_nan(b, dim)
         na = np.linalg.norm(A, axis=1)
         nb = np.linalg.norm(B, axis=1)
         denom = na * nb
@@ -291,8 +317,9 @@ def gated_sum_udf(weights: list[float], bias: float = 0.0):
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _gate(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
-        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        dim = _pair_dim(a, b)
+        A = _stack_or_nan(a, dim)
+        B = _stack_or_nan(b, dim)
         z = np.concatenate([A, B], axis=1) @ w + bias
         g = 1.0 / (1.0 + np.exp(-z))
         out = g[:, None] * A + (1.0 - g[:, None]) * B

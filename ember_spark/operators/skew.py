@@ -48,6 +48,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 1:
+        # pmod(x, 0) is NULL (non-ANSI) and sequence(0, -1) is [0,-1]:
+        # salt=0 silently returned an EMPTY inner join / all-null left
+        # join — fail loudly for dynamically-computed salt factors
+        raise ValueError(f"salted_join: salt must be >= 1, got {salt}")
     keys = [on] if isinstance(on, str) else list(on)
     if "_salt" in fat.columns or "_salt" in compact.columns:
         # withColumn would silently overwrite a user's _salt column and

@@ -39,7 +39,12 @@ def lang_id_col(text: Column) -> Column:
         h = lang_hits(toks, lang)
         out = F.when(h >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(out)
         best = F.greatest(best, h)
-    return F.when(cjk * 2 >= F.length(text), F.lit("zh")).otherwise(out)
+    # length > 0: the empty string satisfied 0*2 >= 0 and was labeled
+    # 'zh'; empty docs carry no language signal and must fall through
+    # to the stopword argmax (which yields 'und' for them)
+    return F.when(
+        (cjk * 2 >= F.length(text)) & (F.length(text) > 0), F.lit("zh")
+    ).otherwise(out)
 
 
 def add_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
@@ -57,8 +62,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     all_sw = F.array(*[F.lit(w) for langwords in LANG_STOPWORDS.values() for w in langwords])
     sw_hits = F.size(F.array_intersect(toks, all_sw))
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
+    # exact mean token length: tokens come from split(\s+), so the sum
+    # of token lengths is precisely the count of non-whitespace chars.
+    # The previous (n_chars - (n_tokens-1))/n_tokens form assumed
+    # exactly one separator char between tokens — repeated or
+    # leading/trailing whitespace inflated it and could flip the
+    # 2.0<=len<=12.0 quality gate on formatting alone.
+    n_nonws = F.length(F.regexp_replace(text, r"\s", ""))
     mean_tok_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
-        (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+        n_nonws.cast("double") / n_tokens
     )
     punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
         n_punct.cast("double") / n_chars

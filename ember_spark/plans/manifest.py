@@ -23,11 +23,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MANIFEST_SCHEMA = (
-    "stage string, fingerprint string, rows long, partitions int, wall_sec double, ts double"
-)
-
-
 class StageManifest:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -44,8 +39,22 @@ class StageManifest:
         p = os.path.join(self._manifest_path(), "manifest.jsonl")
         if not os.path.exists(p):
             return []
+        rows = []
         with open(p) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # torn final line from a kill mid-append: the row it
+                    # was recording is simply not done — skipping it is
+                    # exactly the resume semantics (the stage reruns).
+                    # Raising here would make the kill-and-rerun case
+                    # the module exists for unrecoverable without hand
+                    # editing.
+                    continue
+        return rows
 
     def _append_manifest(self, row: dict) -> None:
         os.makedirs(self._manifest_path(), exist_ok=True)
@@ -53,11 +62,20 @@ class StageManifest:
             f.write(json.dumps(row) + "\n")
 
     def is_done(self, stage: str, fingerprint: str) -> bool:
+        """True iff the stage's data dir currently holds THIS
+        fingerprint's output. Only the LAST manifest row for the stage
+        counts: the manifest is append-only but the data dir is
+        overwritten in place, so a historical (stage, fingerprint)
+        match would serve a LATER fingerprint's bytes as this one's —
+        silent wrong results on an A->B->A parameter flip."""
         data = os.path.join(self._stage_dir(stage), "data")
-        return os.path.exists(os.path.join(data, "_SUCCESS")) and any(
-            m["stage"] == stage and m["fingerprint"] == fingerprint
-            for m in self._read_manifest()
-        )
+        if not os.path.exists(os.path.join(data, "_SUCCESS")):
+            return False
+        last = None
+        for m in self._read_manifest():
+            if m["stage"] == stage:
+                last = m
+        return last is not None and last["fingerprint"] == fingerprint
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._stage_dir(stage), "data"))
@@ -80,7 +98,14 @@ class StageManifest:
         part_stats.write.mode("overwrite").parquet(
             os.path.join(self._stage_dir(stage), "_partitions")
         )
-        rows = out.count()
+        # the partition aggregate already scanned the data — sum it
+        # instead of paying a second full scan just for the row total
+        rows = sum(
+            r["rows"]
+            for r in self.spark.read.parquet(
+                os.path.join(self._stage_dir(stage), "_partitions")
+            ).collect()
+        )
         self._append_manifest(
             {
                 "stage": stage,

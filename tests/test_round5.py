@@ -220,3 +220,58 @@ def test_ann_null_and_empty_embedding_handling(spark):
     empty = df.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="empty"):
         lsh_topk(empty, df.limit(1), k=1)
+
+
+def test_manifest_is_done_only_matches_latest_fingerprint(spark, tmp_path):
+    """The manifest is append-only but the data dir is overwritten in
+    place: after an A->B flip, a rerun with A must NOT be served B's
+    bytes just because A appears somewhere in the history."""
+    from ember_spark.plans.manifest import StageManifest
+
+    m = StageManifest(spark, str(tmp_path))
+    m.run_stage("s1", "fpA", lambda: spark.range(3).toDF("x"))
+    m.run_stage("s1", "fpB", lambda: spark.range(7).toDF("x"))
+    assert m.is_done("s1", "fpB")
+    assert not m.is_done("s1", "fpA")  # stale history row must not count
+    # torn trailing line (kill mid-append) must not brick resume
+    with open(tmp_path / "_manifest" / "manifest.jsonl", "a") as f:
+        f.write('{"stage": "s1", "fingerpr')
+    assert m.is_done("s1", "fpB")
+
+
+def test_lang_id_empty_text_is_not_zh(spark):
+    from ember_spark.operators.textstats import add_lang_id
+
+    df = spark.createDataFrame(
+        [("", ), ("天天向上学习", ), ("the cat and the hat", )], ["text"]
+    )
+    got = [r["lang_pred"] for r in add_lang_id(df).collect()]
+    assert got == ["und", "zh", "en"]
+
+
+def test_salted_join_rejects_zero_salt(spark):
+    import pytest as _pytest
+
+    from ember_spark.operators.skew import salted_join
+
+    fat = spark.createDataFrame([(1, "a")], ["k", "v"])
+    compact = spark.createDataFrame([(1, "p")], ["k", "w"])
+    with _pytest.raises(ValueError, match="salt"):
+        salted_join(fat, compact, "k", salt=0)
+
+
+def test_image_pair_features_tolerate_null_vectors(spark):
+    from ember_spark.operators.multimodal import image_pair_features
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),
+        (2, None, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, img_features_l array<double>, img_features_r array<double>"
+    )
+    out = {r["id"]: r["img_cos"] for r in image_pair_features(df).collect()}
+    assert out[1] == 1.0
+    import math
+    # null side -> cos 0.0 (NaN norm fails the denom>0 gate), not a crash
+    assert out[2] == 0.0 or math.isnan(out[2])
