@@ -20,7 +20,7 @@ import math
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -71,13 +71,24 @@ def pair_features(
     min_sz = F.least(
         F.size(F.array_distinct(F.col(tokens_l))), F.size(F.array_distinct(F.col(tokens_r)))
     ).cast("double")
+    # a NULL token array must score 0.0 like the Arrow kernel's
+    # _tok_overlap and with_pair_overlap do: unguarded, ANSI mode gives
+    # null features (the pair silently drops out of prediction==1), and
+    # non-ANSI's size(null) = -1 gives (-1)/(-1) = a perfect-similarity
+    # FALSE POSITIVE
+    either_null = F.col(tokens_l).isNull() | F.col(tokens_r).isNull()
     out = (
-        pairs.withColumn("f_jaccard", token_jaccard(F.col(tokens_l), F.col(tokens_r)))
+        pairs.withColumn(
+            "f_jaccard",
+            F.when(either_null, F.lit(0.0)).otherwise(
+                token_jaccard(F.col(tokens_l), F.col(tokens_r))
+            ),
+        )
         .withColumn(
             # containment |A∩B|/min(|A|,|B|): robust to one-sided token
             # dropout, the failure mode plain Jaccard misses
             "f_containment",
-            F.when(min_sz == 0, F.lit(0.0)).otherwise(inter / min_sz),
+            F.when(either_null | (min_sz == 0), F.lit(0.0)).otherwise(inter / min_sz),
         )
     )
     if include_jw:
@@ -165,7 +176,7 @@ def make_pair_text_features_udf(
     shape, kept for token-string callers).
 
     With `include_overlap=False`, f_jaccard/f_containment are omitted:
-    callers compute them JVM-side via `pair_overlap_cols` (exact same
+    callers compute them JVM-side via `with_pair_overlap` (exact same
     values), leaving this kernel fully batch-vectorized — the per-pair
     `np.intersect1d` loop was the last scalar Python on the scoring hot
     path (~45% of the kernel at ~92 tokens/side).
@@ -221,8 +232,6 @@ def make_pair_text_features_udf(
         tok_l: pd.Series, tok_r: pd.Series,
     ) -> pd.DataFrame:
         n = len(text_l)
-        jac = np.zeros(n)
-        cont = np.zeros(n)
         cos = None
         # JW was ~84% of this kernel as a per-pair Python loop; the
         # batch form runs the greedy match loop over char POSITIONS
@@ -260,6 +269,8 @@ def make_pair_text_features_udf(
                 )
         out = {}
         if include_overlap:
+            jac = np.zeros(n)
+            cont = np.zeros(n)
             for i in range(n):
                 inter, la, lb = _tok_overlap(tl_list[i], tr_list[i])
                 union = la + lb - inter
@@ -274,6 +285,29 @@ def make_pair_text_features_udf(
         return pd.DataFrame(out)
 
     return _feats
+
+
+def _collect_training_sample(
+    labeled: DataFrame, label_col: str, sample_limit: int
+):
+    """At most `sample_limit` featurized rows as pandas, shared by both
+    matchers' fit_pairs. Inputs within the limit (every in-repo
+    training set — they are benchmark-sized by design) collect as-is,
+    byte-identical to the historical behavior. An OVERSIZED input is
+    re-collected in deterministic xxhash64 order over all selected
+    columns: a bare limit() takes an arbitrary partition-order prefix,
+    which for a table written positives-then-negatives could be
+    single-class — driving the fit toward a constant and degenerating
+    the threshold calibration with no warning."""
+    sel = labeled.select(*FEATURES, F.col(label_col).cast("double").alias("y"))
+    rows = sel.limit(sample_limit + 1).toPandas()
+    if len(rows) <= sample_limit:
+        return rows
+    return (
+        sel.orderBy(F.xxhash64(*[F.col(c) for c in sel.columns]))
+        .limit(sample_limit)
+        .toPandas()
+    )
 
 
 class LogisticMatcher:
@@ -311,11 +345,7 @@ class LogisticMatcher:
     def fit_pairs(self, labeled: DataFrame, label_col: str = "label", sample_limit: int = 100_000):
         """Fit from a featurized labeled pair DataFrame (collects at most
         `sample_limit` rows — training data is benchmark-sized by design)."""
-        rows = (
-            labeled.select(*FEATURES, F.col(label_col).cast("double").alias("y"))
-            .limit(sample_limit)
-            .toPandas()
-        )
+        rows = _collect_training_sample(labeled, label_col, sample_limit)
         X, y = rows[FEATURES].to_numpy(), rows["y"].to_numpy()
         self.fit(X, y)
         self.calibrate_threshold(X, y)
@@ -412,11 +442,7 @@ class CascadeMatcher:
         self.high = float(high)
 
     def fit_pairs(self, labeled: DataFrame, label_col: str = "label", sample_limit: int = 100_000):
-        rows = (
-            labeled.select(*FEATURES, F.col(label_col).cast("double").alias("y"))
-            .limit(sample_limit)
-            .toPandas()
-        )
+        rows = _collect_training_sample(labeled, label_col, sample_limit)
         y = rows["y"].to_numpy()
         X_full = rows[FEATURES].to_numpy()
         X_cheap = rows[FEATURES_CHEAP].to_numpy()
@@ -435,6 +461,16 @@ class CascadeMatcher:
         if self.low > self.high:  # separable training set: keep a thin band
             mid = (self.low + self.high) / 2
             self.low, self.high = mid - 0.05, mid + 0.05
+        # the band must CONTAIN the cheap decision threshold: outside
+        # the band the cascade trusts the cheap classification, so with
+        # threshold < low, pairs scoring in (threshold, low] — below
+        # every confident match seen in training — were routed to the
+        # certain branch and predicted as matches without consulting
+        # the full model. Widening is the safe direction: it only sends
+        # more pairs to the full model.
+        thr = float(self.cheap.threshold)
+        self.low = min(self.low, thr)
+        self.high = max(self.high, thr)
         return self
 
     def predict_cheap(self, feats: DataFrame) -> DataFrame:

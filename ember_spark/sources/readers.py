@@ -33,8 +33,13 @@ def read_csv_multichar_delim(
 
     lines = spark.read.text(path)
     parts = F.split(F.col("value"), re.escape(delimiter), len(column_names))
+    # F.get, not getItem: under Spark 4's default ANSI mode an
+    # out-of-bounds getItem ABORTS the scan (INVALID_ARRAY_INDEX), so
+    # one truncated/blank line in a raw dump killed the whole read;
+    # get() null-pads short rows — the CSV semantics a raw web dump
+    # needs and what the docstring promises
     return lines.select(
-        *[parts.getItem(i).alias(name) for i, name in enumerate(column_names)]
+        *[F.get(parts, i).alias(name) for i, name in enumerate(column_names)]
     )
 
 
