@@ -275,3 +275,17 @@ def test_image_pair_features_tolerate_null_vectors(spark):
     import math
     # null side -> cos 0.0 (NaN norm fails the denom>0 gate), not a crash
     assert out[2] == 0.0 or math.isnan(out[2])
+
+
+def test_csv_multichar_delim_tolerates_short_rows(spark, tmp_path):
+    """Spark 4's default ANSI mode made getItem abort the whole scan on
+    one truncated line; F.get null-pads instead."""
+    from ember_spark.sources.readers import read_csv_multichar_delim
+
+    p = tmp_path / "rows.txt"
+    p.write_text("a@;@b@;@c\nshort\n@;@only-second@;@\n")
+    df = read_csv_multichar_delim(spark, str(p), "@;@", ["x", "y", "z"])
+    rows = {tuple(r) for r in df.collect()}
+    assert ("a", "b", "c") in rows
+    assert ("short", None, None) in rows  # truncated line null-pads
+    assert ("", "only-second", "") in rows
