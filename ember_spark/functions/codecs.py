@@ -6,8 +6,10 @@ library at all, so for them the decode step is REAL, not stubbed:
 
 - PPM/PGM (P5/P6 binary): header + raw samples — decoded by hand.
 - BMP (uncompressed 24/32-bit bottom-up): fixed header layout.
-- PNG (8-bit, non-interlaced, gray/RGB/GA/RGBA): stdlib zlib + the five
-  per-row filters (None/Sub/Up/Average/Paeth) unfiltered by hand.
+- PNG (8/16-bit gray/RGB/GA/RGBA + 8-bit palette, sequential or
+  Adam7-interlaced): stdlib zlib + the five per-row filters
+  (None/Sub/Up/Average/Paeth) unfiltered by hand; only sub-byte
+  depths (1/2/4) remain stubbed.
 - WAV (PCM16): stdlib `wave`.
 - Header sniffing (width/height/format) additionally covers JPEG
   (SOF0/1/2 scan) and GIF — metadata extraction does not need pixel
@@ -129,56 +131,47 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int, int]:
     return (w, h, maxval, i, channels)
 
 
-def _png_gray(b: bytes) -> np.ndarray:
-    """Stdlib PNG decode to float64 grayscale: zlib-inflate the IDAT
-    stream, undo the five per-row filters, average color channels.
-    Covers 8-bit non-interlaced gray / RGB / gray+alpha / RGBA (color
-    types 0/2/4/6) — 16-bit, palette, and Adam7-interlaced PNGs raise
-    NotImplementedError (the remaining declared boundary)."""
-    w, h, depth, color_type = struct.unpack_from(">IIBB", b, 16)
-    interlace = b[28]
-    if depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
-        raise NotImplementedError(
-            f"png depth={depth} color_type={color_type} interlace={interlace}: "
-            "stdlib path covers 8-bit non-interlaced gray/RGB/GA/RGBA"
-        )
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    # chunk walk: length(4) type(4) data payload crc(4)
-    idat = []
-    i = 8
-    while i + 8 <= len(b):
-        (length,) = struct.unpack_from(">I", b, i)
-        ctype = b[i + 4 : i + 8]
-        if ctype == b"IDAT":
-            idat.append(b[i + 8 : i + 8 + length])
-        elif ctype == b"IEND":
-            break
-        i += 12 + length
-    data = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(data) < (stride + 1) * h:
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(
+    data: bytes, pos: int, h: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Undo the five PNG row filters for `h` scanlines of `stride`
+    bytes starting at data[pos]; the left-neighbor offset is `bpp`
+    BYTES per the spec (so 16-bit samples filter on their byte halves).
+    Returns ((h, stride) int32 array, position after the last line)."""
+    if pos + (stride + 1) * h > len(data):
         raise ValueError("png: truncated IDAT stream")
     out = np.zeros((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
-    pos = 0
     for y in range(h):
         flt = data[pos]
         rec = np.frombuffer(data, np.uint8, stride, pos + 1).astype(np.int32)
         pos += stride + 1
-        if flt == 1:  # Sub: + left (same channel)
-            for i in range(ch, stride):
-                rec[i] = (rec[i] + rec[i - ch]) & 0xFF
+        if flt == 1:  # Sub: + left (bpp bytes back)
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
         elif flt == 2:  # Up (vectorized: no intra-row dependency)
             rec = (rec + prev) & 0xFF
         elif flt == 3:  # Average
             for i in range(stride):
-                left = rec[i - ch] if i >= ch else 0
+                left = rec[i - bpp] if i >= bpp else 0
                 rec[i] = (rec[i] + ((left + int(prev[i])) >> 1)) & 0xFF
         elif flt == 4:  # Paeth
             for i in range(stride):
-                a = int(rec[i - ch]) if i >= ch else 0
+                a = int(rec[i - bpp]) if i >= bpp else 0
                 up = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + up - c
                 pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
@@ -187,12 +180,84 @@ def _png_gray(b: bytes) -> np.ndarray:
             raise ValueError(f"png: unknown row filter {flt}")
         out[y] = rec
         prev = rec
-    px = out.reshape(h, w, ch).astype(np.float64)
-    if color_type == 0:
-        return px[:, :, 0]
-    if color_type == 4:  # gray + alpha: gray channel only
-        return px[:, :, 0]
-    return px[:, :, :3].mean(axis=2)  # RGB(A): average color channels
+    return out, pos
+
+
+def _png_rows_to_samples(
+    rows: np.ndarray, w: int, ch: int, depth: int
+) -> np.ndarray:
+    """(h, stride) filtered bytes -> (h, w, ch) int32 samples."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, w, ch)
+    # 16-bit: big-endian byte pairs per sample
+    return ((rows[:, 0::2] << 8) | rows[:, 1::2]).reshape(h, w, ch)
+
+
+def _png_gray(b: bytes) -> np.ndarray:
+    """Stdlib PNG decode to float64 grayscale in [0, 255]: zlib-inflate
+    the IDAT stream, undo the five per-row filters, map palette
+    indices through PLTE, de-interlace Adam7, average color channels.
+    Covers 8- and 16-bit gray / RGB / gray+alpha / RGBA (color types
+    0/2/4/6) plus 8-bit palette (type 3), sequential or Adam7. Only
+    sub-byte depths (1/2/4) remain the declared NotImplementedError
+    boundary."""
+    w, h, depth, color_type = struct.unpack_from(">IIBB", b, 16)
+    interlace = b[28]
+    if (
+        depth not in (8, 16)
+        or interlace not in (0, 1)
+        or color_type not in (0, 2, 3, 4, 6)
+        or (color_type == 3 and depth != 8)
+    ):
+        raise NotImplementedError(
+            f"png depth={depth} color_type={color_type} interlace={interlace}: "
+            "stdlib path covers 8/16-bit gray/RGB/GA/RGBA + 8-bit palette, "
+            "sequential or Adam7 (sub-byte depths need a codec lib)"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = ch * (depth // 8)
+    # chunk walk: length(4) type(4) data payload crc(4)
+    idat = []
+    plte = None
+    i = 8
+    while i + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, i)
+        ctype = b[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat.append(b[i + 8 : i + 8 + length])
+        elif ctype == b"PLTE":
+            plte = b[i + 8 : i + 8 + length]
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    data = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        rows, _ = _png_unfilter(data, 0, h, w * bpp, bpp)
+        px = _png_rows_to_samples(rows, w, ch, depth)
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, ch), dtype=np.int32)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines at all
+            rows, pos = _png_unfilter(data, pos, ph, pw * bpp, bpp)
+            px[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, ch, depth)
+    if color_type == 3:
+        if plte is None or len(plte) % 3 or not len(plte):
+            raise ValueError("png: palette image without a valid PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.int32)
+        if px.max(initial=0) >= pal.shape[0]:
+            raise ValueError("png: palette index out of range")
+        px = pal[px[:, :, 0]]  # (h, w, 3), already 8-bit scale
+        color_type, depth = 2, 8
+    scale = 255.0 / (65535.0 if depth == 16 else 255.0)
+    fpx = px.astype(np.float64) * scale
+    if color_type in (0, 4):  # gray / gray+alpha: gray channel only
+        return fpx[:, :, 0]
+    return fpx[:, :, :3].mean(axis=2)  # RGB(A): average color channels
 
 
 def decode_image_gray(b: bytes) -> np.ndarray:
@@ -323,40 +388,96 @@ def make_bmp(pixels: np.ndarray) -> bytes:
     return bytes(header) + bytes(raster)
 
 
-def make_png(pixels: np.ndarray, filters: str = "mixed") -> bytes:
-    """Serialize an (h, w) uint8 gray or (h, w, 3) uint8 RGB array as an
-    8-bit non-interlaced PNG. filters='mixed' cycles the row filter
-    through 0..4 (None/Sub/Up/Average/Paeth) so a decoder round-trip
-    exercises every unfilter path; filters='none' emits filter 0 only."""
-    gray = pixels.ndim == 2
-    h, w = pixels.shape[:2]
-    ch = 1 if gray else 3
-    px = pixels.reshape(h, w * ch).astype(np.int32)
+def _png_filter_rows(byte_rows: np.ndarray, bpp: int, filters: str) -> bytearray:
+    """Apply PNG row filters to (h, stride) byte values; 'mixed' cycles
+    0..4 per row, 'none' emits filter 0 only. The left-neighbor offset
+    is `bpp` BYTES (spec), so this serves 8- and 16-bit rasters alike.
+    The filter history resets per call — callers emit one call per
+    Adam7 pass, matching the decoder's per-pass `prev` reset."""
+    h, stride = byte_rows.shape
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        rec = px[y]
+        rec = byte_rows[y]
         f = (y % 5) if filters == "mixed" else 0
         enc = rec.copy()
         if f == 1:
-            enc[ch:] = (rec[ch:] - rec[:-ch]) & 0xFF
+            enc[bpp:] = (rec[bpp:] - rec[:-bpp]) & 0xFF
         elif f == 2:
             enc = (rec - prev) & 0xFF
         elif f == 3:
-            for i in range(w * ch):
-                left = int(rec[i - ch]) if i >= ch else 0
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
                 enc[i] = (rec[i] - ((left + int(prev[i])) >> 1)) & 0xFF
         elif f == 4:
-            for i in range(w * ch):
-                a = int(rec[i - ch]) if i >= ch else 0
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
                 up = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + up - c
                 pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
                 enc[i] = (rec[i] - pred) & 0xFF
         raw += bytes([f]) + enc.astype(np.uint8).tobytes()
         prev = rec
+    return raw
+
+
+def make_png(
+    pixels: np.ndarray,
+    filters: str = "mixed",
+    depth: int = 8,
+    palette: bool = False,
+    interlace: int = 0,
+) -> bytes:
+    """Serialize an (h, w) gray or (h, w, 3) RGB array as a PNG — the
+    test-side generator for real decode coverage.
+
+    depth=8 takes uint8 samples, depth=16 uint16 (big-endian on the
+    wire); palette=True indexes an (h, w, 3) uint8 image through a PLTE
+    built from its unique colors (<= 256 required); interlace=1 emits
+    Adam7 passes (each pass filtered independently, like real
+    encoders). filters='mixed' cycles the row filter through 0..4 so a
+    decoder round-trip exercises every unfilter path."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if palette:
+        if gray or depth != 8:
+            raise ValueError("palette PNG needs an (h, w, 3) uint8 image")
+        flat = pixels.reshape(-1, 3).astype(np.uint8)
+        colors, inv = np.unique(
+            flat.view([("", np.uint8)] * 3), return_inverse=True
+        )
+        pal = colors.view(np.uint8).reshape(-1, 3)
+        if pal.shape[0] > 256:
+            raise ValueError(f"palette PNG limited to 256 colors, got {pal.shape[0]}")
+        samples = inv.reshape(h, w, 1).astype(np.int32)
+        color_type, ch = 3, 1
+    else:
+        ch = 1 if gray else 3
+        color_type = 0 if gray else 2
+        samples = pixels.reshape(h, w, ch).astype(np.int32)
+    bpp = ch * (depth // 8)
+
+    def pass_bytes(sub: np.ndarray) -> bytearray:
+        ph, pw = sub.shape[:2]
+        arr = sub.reshape(ph, pw * ch)
+        if depth == 16:
+            rows = np.empty((ph, pw * ch * 2), dtype=np.int32)
+            rows[:, 0::2] = (arr >> 8) & 0xFF
+            rows[:, 1::2] = arr & 0xFF
+        else:
+            rows = arr & 0xFF
+        return _png_filter_rows(rows, bpp, filters)
+
+    raw = bytearray()
+    if interlace == 0:
+        raw += pass_bytes(samples)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += pass_bytes(sub)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -366,13 +487,11 @@ def make_png(pixels: np.ndarray, filters: str = "mixed") -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette:
+        out += chunk(b"PLTE", pal.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
 def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

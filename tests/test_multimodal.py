@@ -6,6 +6,7 @@ matcher's feature extraction surface (`src/models/vision_matcher.py:
 33-58`), re-expressed as Arrow-batched UDFs over binary columns."""
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -122,16 +123,81 @@ def test_png_decode_roundtrip_all_filters():
     )
 
 
+def test_png_16bit_roundtrip():
+    """16-bit samples filter on their byte halves (bpp=2/6 offsets) and
+    scale to the [0, 255] gray contract exactly."""
+    rng = np.random.RandomState(17)
+    g16 = rng.randint(0, 65536, size=(11, 6), dtype=np.uint16)
+    g = decode_image_gray(make_png(g16, filters="mixed", depth=16))
+    assert np.allclose(g, g16.astype(np.float64) * 255.0 / 65535.0)
+    rgb16 = rng.randint(0, 65536, size=(5, 9, 3), dtype=np.uint16)
+    g2 = decode_image_gray(make_png(rgb16, filters="mixed", depth=16))
+    assert np.allclose(
+        g2, rgb16.astype(np.float64).mean(axis=2) * 255.0 / 65535.0
+    )
+
+
+def test_png_palette_roundtrip():
+    """Palette (color type 3) indices map through PLTE back to the
+    exact source colors."""
+    rng = np.random.RandomState(23)
+    pal = rng.randint(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.randint(0, 200, size=(13, 7))
+    rgb = pal[idx]
+    g = decode_image_gray(make_png(rgb, filters="mixed", palette=True))
+    assert np.allclose(g, rgb.astype(np.float64).mean(axis=2))
+    # a palette image whose PLTE chunk is missing is corrupt, not a stub
+    b = make_png(rgb, palette=True)
+    plte_at = b.find(b"PLTE") - 4
+    plte_len = struct.unpack_from(">I", b, plte_at)[0]
+    broken = b[:plte_at] + b[plte_at + 12 + plte_len :]
+    with pytest.raises(ValueError):
+        decode_image_gray(broken)
+
+
+def test_png_adam7_matches_sequential():
+    """Adam7-interlaced decode reassembles the same pixels the
+    sequential encoding of the same image yields — all five filters,
+    8- and 16-bit, including dims not divisible by 8 (empty passes)."""
+    rng = np.random.RandomState(29)
+    for shape, depth, dtype in [
+        ((9, 13), 8, np.uint8),
+        ((16, 16, 3), 8, np.uint8),
+        ((7, 3), 16, np.uint16),
+        ((1, 1), 8, np.uint8),  # only pass 1 is non-empty
+    ]:
+        px = rng.randint(0, 2 ** (depth * 2), size=shape).astype(dtype)
+        seq = decode_image_gray(make_png(px, filters="mixed", depth=depth))
+        adam = decode_image_gray(
+            make_png(px, filters="mixed", depth=depth, interlace=1)
+        )
+        assert np.array_equal(seq, adam), (shape, depth)
+    # truncated interlaced stream is corrupt data, not a stub
+    full = make_png(rng.randint(0, 256, (12, 12), np.uint8), interlace=1)
+    idat_at = full.find(b"IDAT") - 4
+    idat_len = struct.unpack_from(">I", full, idat_at)[0]
+    payload = zlib.decompress(full[idat_at + 8 : idat_at + 8 + idat_len])
+    short = zlib.compress(payload[: len(payload) // 2])
+    broken = (
+        full[:idat_at]
+        + struct.pack(">I", len(short))
+        + b"IDAT"
+        + short
+        + struct.pack(">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+        + full[idat_at + 12 + idat_len :]
+    )
+    with pytest.raises(ValueError):
+        decode_image_gray(broken)
+
+
 def test_png_unsupported_variants_raise_declared_stub():
+    """Sub-byte depths are the remaining declared PNG boundary."""
     px = _pixels(4, 4)
-    b = bytearray(make_png(px))
-    b[24] = 16  # bit depth 16
-    with pytest.raises(NotImplementedError):
-        decode_image_gray(bytes(b))
-    b = bytearray(make_png(px))
-    b[28] = 1  # Adam7 interlace
-    with pytest.raises(NotImplementedError):
-        decode_image_gray(bytes(b))
+    for bad_depth in (1, 2, 4):
+        b = bytearray(make_png(px))
+        b[24] = bad_depth
+        with pytest.raises(NotImplementedError):
+            decode_image_gray(bytes(b))
 
 
 def test_jpeg_sniff_skips_fill_bytes_and_stops_at_sos():
