@@ -10,10 +10,12 @@ library at all, so for them the decode step is REAL, not stubbed:
   Adam7-interlaced): stdlib zlib + the five per-row filters
   (None/Sub/Up/Average/Paeth) unfiltered by hand; only sub-byte
   depths (1/2/4) remain stubbed.
+- JPEG (baseline sequential, any sampling, restart intervals): the
+  pure-numpy Huffman + IDCT decoder in `functions/jpeg.py`; only
+  progressive/arithmetic/12-bit streams remain stubbed.
 - WAV (PCM16): stdlib `wave`.
-- Header sniffing (width/height/format) additionally covers JPEG
-  (SOF0/1/2 scan) and GIF — metadata extraction does not need pixel
-  decoding.
+- Header sniffing (width/height/format) additionally covers GIF —
+  metadata extraction does not need pixel decoding.
 
 Everything returns numpy so the Arrow-batched UDFs in
 `operators/multimodal.py` stay vectorized per batch. Formats beyond
@@ -261,9 +263,12 @@ def _png_gray(b: bytes) -> np.ndarray:
 
 
 def decode_image_gray(b: bytes) -> np.ndarray:
-    """Decode a PPM/PGM/BMP/PNG payload to a float64 grayscale (h, w)
-    array in [0, 255]. Raises NotImplementedError for formats that need
-    a codec library (jpeg/...) — the declared stub boundary."""
+    """Decode a PPM/PGM/BMP/PNG/JPEG payload to a float64 grayscale
+    (h, w) array in [0, 255]. JPEG decodes to the luma plane (what
+    ITU-R 601 gray conversion yields for YCbCr input) via the pure-
+    numpy baseline decoder in functions/jpeg.py. Raises
+    NotImplementedError for the remaining declared boundaries
+    (progressive/arithmetic jpeg, sub-byte-depth png, gif pixels)."""
     if b[:2] in (b"P5", b"P6"):
         w, h, maxval, off, ch = _ppm_header(b)
         # maxval > 255 means 2 bytes per sample, most significant first
@@ -289,9 +294,13 @@ def decode_image_gray(b: bytes) -> np.ndarray:
         return gray[::-1] if flip else gray
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_gray(b)
+    if b[:2] == b"\xff\xd8":
+        from ember_spark.functions.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(b)
     raise NotImplementedError(
         "image decode for this format requires codec libs not present "
-        "in this container (stdlib path covers ppm/pgm/bmp/png)"
+        "in this container (stdlib path covers ppm/pgm/bmp/png/jpeg)"
     )
 
 

@@ -3,11 +3,13 @@ metadata (SURVEY.md §2.8 M5/M6 vision path; reference twin-tower ViT
 `vision_matcher.py:33-58`, gated-sum fusion `gatedsum.py:13-20`).
 
 Decode strategy (VERDICT r2 #9): decode is REAL wherever a codec
-exists without external libs — `functions/codecs.py` decodes PPM/PGM
-and uncompressed BMP by hand and PCM WAV via stdlib `wave`, and sniffs
-width/height/format from PNG/JPEG/GIF/BMP/PPM headers with no pixel
-decode at all. If PIL happens to be importable it extends image decode
-to jpeg/png. Only formats with neither path fall back to the
+exists without external libs — `functions/codecs.py` decodes PPM/PGM,
+uncompressed BMP, PNG (zlib + hand unfilter), baseline JPEG (pure-
+numpy Huffman + IDCT, functions/jpeg.py) and PCM WAV via stdlib
+`wave`, and sniffs width/height/format from PNG/JPEG/GIF/BMP/PPM
+headers with no pixel decode at all. The `use_pil` opt-in remains the
+fast path for jpeg-heavy corpora (libjpeg beats a Python Huffman
+loop). Only formats with neither path fall back to the
 clearly-marked stub: NotImplementedError by default, or a
 blake2b-seeded deterministic fake with `allow_fake=True` so the
 Spark-side plumbing (schema, Arrow batch shape, partitioning) stays
@@ -93,7 +95,7 @@ def image_feature_extractor(
                 continue
             raw = bytes(b)
             v = None
-            # 1) stdlib decode: ppm/pgm/bmp need no codec library
+            # 1) stdlib/numpy decode: ppm/pgm/bmp/png/baseline-jpeg
             try:
                 g = decode_image_gray(raw)
                 v = block_mean_resize(g, side).ravel()[:dim]
@@ -104,7 +106,8 @@ def image_feature_extractor(
             except Exception:
                 out.append([0.0] * dim)
                 continue
-            # 2) PIL, when importable, covers jpeg/png/...
+            # 2) PIL opt-in covers the remaining formats (and is the
+            #    fast path for jpeg)
             if v is None and use_pil:
                 try:
                     img = Image.open(io.BytesIO(raw)).convert("L")

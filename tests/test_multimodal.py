@@ -190,6 +190,96 @@ def test_png_adam7_matches_sequential():
         decode_image_gray(broken)
 
 
+def test_jpeg_solid_block_decodes_to_analytic_dc():
+    """A solid 8x8 image has ONLY a DC coefficient: the decoded value
+    is computed here from the spec formulas (level shift, S00 = 8*(v -
+    128), quantize, dequantize, IDCT constant = S00/8 + 128), NOT by
+    running the encoder's transform — so a compensating encoder/decoder
+    bug (e.g. a shared wrong zigzag) cannot cancel out."""
+    from ember_spark.functions.jpeg import decode_jpeg_gray, make_jpeg
+
+    for v, quality in [(200, 1), (37, 9), (128, 5), (255, 7), (0, 3)]:
+        img = np.full((8, 8), v, np.uint8)
+        q00 = 1  # the ramp's DC step is 1 at every quality
+        expected = np.clip(round(8 * (v - 128) / q00) * q00 / 8 + 128, 0, 255)
+        d = decode_jpeg_gray(make_jpeg(img, quality=quality))
+        assert d.shape == (8, 8)
+        assert np.allclose(d, expected), (v, quality)
+
+
+def test_jpeg_single_basis_function_roundtrip():
+    """A pixel pattern proportional to one DCT basis function excites
+    exactly one AC coefficient — exercising the run-length/EOB path
+    with an analytically simple target."""
+    from ember_spark.functions.jpeg import _A, decode_jpeg_gray, make_jpeg
+
+    basis = np.outer(_A[3], _A[5])  # (v=3, u=5)
+    img = np.clip(128 + 400 * basis, 0, 255).astype(np.uint8)
+    d = decode_jpeg_gray(make_jpeg(img, quality=1))
+    assert np.abs(d - img).max() <= 2.0
+
+
+def test_jpeg_roundtrip_gray_and_color():
+    """quality=1 quantizes every coefficient at step 1, so round-trip
+    error is bounded by DCT rounding alone (~1 gray level) — for
+    arbitrary images, including dims not divisible by 8/16. Color
+    decode targets the LUMA plane (= ITU-R 601 gray)."""
+    from ember_spark.functions.jpeg import decode_jpeg_gray, make_jpeg
+
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (24, 17), np.uint8)
+    d = decode_jpeg_gray(make_jpeg(g, quality=1))
+    assert d.shape == (24, 17)
+    assert np.abs(d - g).max() <= 2.0
+    rgb = rng.randint(0, 256, (13, 21, 3), np.uint8)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    d444 = decode_jpeg_gray(make_jpeg(rgb, quality=1))
+    assert np.abs(d444 - y).max() <= 2.0
+    # 4:2:0: chroma blocks interleave differently in the MCU — the luma
+    # result must be unchanged, proving the bitstream stays in sync
+    d420 = decode_jpeg_gray(make_jpeg(rgb, quality=1, subsampling="420"))
+    assert np.abs(d420 - y).max() <= 2.0
+    # coarser quantization still reconstructs a smooth image closely
+    grad = np.clip(
+        np.add.outer(np.arange(32) * 4, np.arange(32) * 3), 0, 255
+    ).astype(np.uint8)
+    dq = decode_jpeg_gray(make_jpeg(grad, quality=9))
+    assert np.sqrt(np.mean((dq - grad) ** 2)) < 6.0
+
+
+def test_jpeg_restart_intervals_and_dispatch():
+    """DRI/RSTn streams decode identically to unsegmented ones (DC
+    predictors reset per interval on both sides), and decode_image_gray
+    dispatches jpeg without the PIL opt-in."""
+    from ember_spark.functions.jpeg import decode_jpeg_gray, make_jpeg
+
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, (40, 33), np.uint8)
+    plain = decode_jpeg_gray(make_jpeg(g, quality=2))
+    with_rst = make_jpeg(g, quality=2, restart=3)
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    assert np.array_equal(plain, decode_jpeg_gray(with_rst))
+    assert np.array_equal(plain, decode_image_gray(make_jpeg(g, quality=2)))
+    assert sniff_image_meta(with_rst) == (33, 40, "jpeg")
+
+
+def test_jpeg_progressive_and_truncation_boundaries():
+    """Progressive (SOF2) stays the declared NotImplementedError
+    boundary; a truncated entropy stream is corrupt data
+    (ValueError), not a stub."""
+    from ember_spark.functions.jpeg import decode_jpeg_gray, make_jpeg
+
+    b = make_jpeg(np.full((8, 8), 90, np.uint8))
+    sof_at = b.find(b"\xff\xc0")
+    prog = b[:sof_at] + b"\xff\xc2" + b[sof_at + 2 :]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(prog)
+    rng = np.random.RandomState(3)
+    full = make_jpeg(rng.randint(0, 256, (32, 32), np.uint8), quality=1)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(full[: int(len(full) * 0.6)])
+
+
 def test_png_unsupported_variants_raise_declared_stub():
     """Sub-byte depths are the remaining declared PNG boundary."""
     px = _pixels(4, 4)
