@@ -13,9 +13,9 @@ library at all, so for them the decode step is REAL, not stubbed:
 - JPEG (baseline sequential, any sampling, restart intervals): the
   pure-numpy Huffman + IDCT decoder in `functions/jpeg.py`; only
   progressive/arithmetic/12-bit streams remain stubbed.
+- GIF (87a/89a first frame): hand-rolled LZW (variable-width codes,
+  clear/EOI, KwKwK), global/local palettes, 4-pass interlace.
 - WAV (PCM16): stdlib `wave`.
-- Header sniffing (width/height/format) additionally covers GIF —
-  metadata extraction does not need pixel decoding.
 
 Everything returns numpy so the Arrow-batched UDFs in
 `operators/multimodal.py` stay vectorized per batch. Formats beyond
@@ -262,13 +262,121 @@ def _png_gray(b: bytes) -> np.ndarray:
     return fpx[:, :, :3].mean(axis=2)  # RGB(A): average color channels
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """GIF-variant LZW: variable 3..12-bit codes, LSB-first packing,
+    clear/EOI codes, the KwKwK case. Returns `expected` palette
+    indices as uint8."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(expected, dtype=np.uint8)
+    n_out = 0
+    # bit reader state (LSB-first across the whole data stream)
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def reset_dict():
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = reset_dict()
+    prev: bytes | None = None
+    while n_out < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width = reset_dict()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("gif: corrupt LZW code")
+        take = min(len(entry), expected - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if n_out < expected:
+        raise ValueError("gif: LZW stream ended before the raster was full")
+    return out
+
+
+def _gif_gray(b: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to float64 gray (mean of
+    the palette RGB, matching the PNG-palette convention). Handles
+    global/local color tables, extensions, sub-blocks, and the 4-pass
+    row interlace."""
+    sw, sh, flags = struct.unpack_from("<HHB", b, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", b, i + 1)
+            i += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            if pal is None:
+                raise ValueError("gif: no color table for image")
+            min_code = b[i]
+            i += 1
+            parts = []
+            while i < len(b) and b[i]:
+                parts.append(b[i + 1 : i + 1 + b[i]])
+                i += 1 + b[i]
+            idx = _gif_lzw_decode(b"".join(parts), min_code, w * h)
+            if idx.max(initial=0) >= pal.shape[0]:
+                raise ValueError("gif: palette index out of range")
+            rows = idx.reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                ordering = np.concatenate(
+                    [np.arange(o, h, s) for o, s in ((0, 8), (4, 8), (2, 4), (1, 2))]
+                )
+                deinter = np.empty_like(rows)
+                deinter[ordering] = rows
+                rows = deinter
+            return pal[rows].astype(np.float64).mean(axis=2)
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"gif: unexpected block 0x{blk:02x}")
+    raise ValueError("gif: no image frame found")
+
+
 def decode_image_gray(b: bytes) -> np.ndarray:
     """Decode a PPM/PGM/BMP/PNG/JPEG payload to a float64 grayscale
     (h, w) array in [0, 255]. JPEG decodes to the luma plane (what
     ITU-R 601 gray conversion yields for YCbCr input) via the pure-
-    numpy baseline decoder in functions/jpeg.py. Raises
-    NotImplementedError for the remaining declared boundaries
-    (progressive/arithmetic jpeg, sub-byte-depth png, gif pixels)."""
+    numpy baseline decoder in functions/jpeg.py; GIF first frames via
+    hand-rolled LZW. Raises NotImplementedError for the remaining
+    declared boundaries (progressive/arithmetic jpeg, sub-byte-depth
+    png)."""
     if b[:2] in (b"P5", b"P6"):
         w, h, maxval, off, ch = _ppm_header(b)
         # maxval > 255 means 2 bytes per sample, most significant first
@@ -298,9 +406,11 @@ def decode_image_gray(b: bytes) -> np.ndarray:
         from ember_spark.functions.jpeg import decode_jpeg_gray
 
         return decode_jpeg_gray(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_gray(b)
     raise NotImplementedError(
         "image decode for this format requires codec libs not present "
-        "in this container (stdlib path covers ppm/pgm/bmp/png/jpeg)"
+        "in this container (stdlib path covers ppm/pgm/bmp/png/jpeg/gif)"
     )
 
 
@@ -501,6 +611,95 @@ def make_png(
     if palette:
         out += chunk(b"PLTE", pal.tobytes())
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def make_gif(
+    pixels: np.ndarray, interlace: bool = False, with_extension: bool = False
+) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array (<= 256 unique colors) as
+    a GIF89a — the test-side generator for real decode coverage. The
+    LZW compressor is the spec algorithm (variable code width, clear at
+    dictionary capacity), independent of the decoder's table walk.
+    interlace=True writes rows in the 4-pass order; with_extension=True
+    prepends a graphic-control extension block the decoder must skip."""
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(-1, 3).astype(np.uint8)
+    colors, inv = np.unique(flat.view([("", np.uint8)] * 3), return_inverse=True)
+    pal = colors.view(np.uint8).reshape(-1, 3)
+    if pal.shape[0] > 256:
+        raise ValueError(f"gif limited to 256 colors, got {pal.shape[0]}")
+    idx = inv.reshape(h, w).astype(np.uint8)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(o, h, s) for o, s in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        raster = idx[order].reshape(-1)
+    else:
+        raster = idx.reshape(-1)
+    # palette padded to a power of two >= 2, as the format requires
+    depth = max((pal.shape[0] - 1).bit_length(), 1)
+    padded = np.zeros((1 << depth, 3), np.uint8)
+    padded[: pal.shape[0]] = pal
+    min_code = max(depth, 2)
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    out_codes: list[tuple[int, int]] = []  # (code, width)
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out_codes.append((clear, width))
+    cur = b""
+    for byte in raster.tobytes():
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_codes.append((table[cur], width))
+        if next_code < 4096:
+            table[nxt] = next_code
+            # widen when the just-assigned entry is the first that no
+            # longer fits the current width: the decoder appends this
+            # entry one code later, so its len(table) == 1<<width check
+            # fires for exactly the same following code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # dictionary full: clear and restart
+            out_codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([byte])
+    if cur:
+        out_codes.append((table[cur], width))
+    out_codes.append((eoi, width))
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    for code, cw in out_codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += padded.tobytes()
+    if with_extension:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

@@ -190,6 +190,48 @@ def test_png_adam7_matches_sequential():
         decode_image_gray(broken)
 
 
+def test_gif_lzw_roundtrip_exact():
+    """GIF LZW decode is exact (lossless format): plain, interlaced,
+    and extension-prefixed streams all reproduce mean-of-palette-RGB,
+    including an image large enough to push the code width through
+    several increments."""
+    from ember_spark.functions.codecs import make_gif
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, (200, 3), np.uint8)
+    rgb = pal[rng.randint(0, 200, (31, 23))]
+    want = rgb.astype(np.float64).mean(axis=2)
+    for interlace in (False, True):
+        for ext in (False, True):
+            b = make_gif(rgb, interlace=interlace, with_extension=ext)
+            assert np.array_equal(decode_image_gray(b), want), (interlace, ext)
+    assert sniff_image_meta(make_gif(rgb)) == (23, 31, "gif")
+    # dictionary growth through multiple width bumps (and, at this
+    # size, the 4096-entry clear/restart path)
+    big = pal[rng.randint(0, 200, (120, 150))]
+    assert np.array_equal(
+        decode_image_gray(make_gif(big)), big.astype(np.float64).mean(axis=2)
+    )
+    # 2-color palette: min code size clamps to 2 per the spec
+    two = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)[
+        rng.randint(0, 2, (9, 5))
+    ]
+    assert np.array_equal(
+        decode_image_gray(make_gif(two, interlace=True)),
+        two.astype(np.float64).mean(axis=2),
+    )
+
+
+def test_gif_truncation_is_corrupt_not_stub():
+    from ember_spark.functions.codecs import make_gif
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (16, 3), np.uint8)
+    b = make_gif(pal[rng.randint(0, 16, (20, 20))])
+    with pytest.raises(ValueError):
+        decode_image_gray(b[: int(len(b) * 0.5)])
+
+
 def test_jpeg_solid_block_decodes_to_analytic_dc():
     """A solid 8x8 image has ONLY a DC coefficient: the decoded value
     is computed here from the spec formulas (level shift, S00 = 8*(v -
