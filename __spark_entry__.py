@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: PEP-563 pandas-UDF hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -839,6 +840,60 @@ def q_s6_binary_listing(spark, sf):
     )
 
 
+def q_s7_image_decode(spark, sf):
+    """Multimodal decode as a driver-checked query: binaryFile scan
+    over committed image fixtures (one per stdlib-decodable format —
+    png/gif/ppm/jpeg/bmp), then ONE Arrow-batched pandas UDF per batch
+    of blobs returning (fmt, width, height, mean_gray). No SQL engine
+    decodes images, so the oracle is a literal VALUES list produced by
+    `scripts/make_image_fixtures.py` — decode is deterministic
+    (pure-numpy codecs, functions/codecs.py + functions/jpeg.py), the
+    same exact-literal pattern ann_lsh_topk's hyperplanes use.
+    Reference parity: the vision matcher's decode step
+    (`src/models/vision_matcher.py:33-43`), minus the torch model."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ember_spark.sources.readers import read_binary_files
+
+    meta_t = StructType(
+        [
+            StructField("fmt", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_gray", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(meta_t)
+    def decode_meta(content: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from ember_spark.functions.codecs import (
+            decode_image_gray,
+            sniff_image_meta,
+        )
+
+        rows = []
+        for b in content:
+            raw = bytes(b)
+            w, h, fmt = sniff_image_meta(raw)
+            g = decode_image_gray(raw)
+            rows.append((fmt, int(w), int(h), float(np.mean(g))))
+        return pd.DataFrame(rows, columns=["fmt", "width", "height", "mean_gray"])
+
+    df = read_binary_files(spark, f"{_fixture_dir()}/s7_images", "img_*")
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        decode_meta(F.col("content")).alias("m"),
+    ).select("file_name", "m.fmt", "m.width", "m.height", "m.mean_gray")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # file-based sources (committed fixtures — the ops need FILES,
@@ -846,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_csv_multidelim": q_s1_csv_multidelim,
         "s4_jsonl_scan": q_s4_jsonl_scan,
         "s6_binary_listing": q_s6_binary_listing,
+        "s7_image_decode": q_s7_image_decode,
         # relational core
         "a1_groupby_count": q_a1_groupby_count,
         "tpch_q1": q_tpch_q1,
@@ -927,6 +983,16 @@ def oracle_sql() -> dict[str, str]:
                    size AS size_bytes,
                    upper(hex(content)) AS content_hex
             FROM read_blob('{fx}/s6_blobs/*.bin')
+        """,
+        # no SQL engine decodes images: the oracle is the exact literal
+        # decode output, regenerated by scripts/make_image_fixtures.py
+        # (same pattern as ann_lsh_topk's blake2b hyperplane literals)
+        "s7_image_decode": """
+            SELECT 'img_a.png' AS file_name, 'png' AS fmt, 9::INT AS width, 12::INT AS height, CAST('126.75308641975309' AS DOUBLE) AS mean_gray UNION ALL
+            SELECT 'img_b.gif' AS file_name, 'gif' AS fmt, 11::INT AS width, 7::INT AS height, CAST('128.85281385281385' AS DOUBLE) AS mean_gray UNION ALL
+            SELECT 'img_c.ppm' AS file_name, 'ppm' AS fmt, 8::INT AS width, 5::INT AS height, CAST('129.15833333333333' AS DOUBLE) AS mean_gray UNION ALL
+            SELECT 'img_d.jpg' AS file_name, 'jpeg' AS fmt, 10::INT AS width, 16::INT AS height, CAST('128.58413675128708' AS DOUBLE) AS mean_gray UNION ALL
+            SELECT 'img_e.bmp' AS file_name, 'bmp' AS fmt, 6::INT AS width, 6::INT AS height, CAST('126.42592592592592' AS DOUBLE) AS mean_gray
         """,
         "a1_groupby_count": """
             SELECT l_returnflag, l_linestatus, count(*) AS n
