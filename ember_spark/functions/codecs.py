@@ -15,7 +15,8 @@ library at all, so for them the decode step is REAL, not stubbed:
   progressive/arithmetic/12-bit streams remain stubbed.
 - GIF (87a/89a first frame): hand-rolled LZW (variable-width codes,
   clear/EOI, KwKwK), global/local palettes, 4-pass interlace.
-- WAV (PCM16): stdlib `wave`.
+- WAV: PCM via stdlib `wave`; G.711 mu-law/A-law via the canonical
+  expansion tables (audioop-verified); ADPCM etc. remain stubbed.
 
 Everything returns numpy so the Arrow-batched UDFs in
 `operators/multimodal.py` stay vectorized per batch. Formats beyond
@@ -426,14 +427,56 @@ def block_mean_resize(arr: np.ndarray, side: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------ audio decode
+# G.711 expansion tables, computed once from the canonical formulas:
+# mu-law  x = ((mantissa<<3) + 0x84) << exponent, minus bias, signed
+# A-law   t = (mantissa<<4) + 8; seg>0: (t + 0x100) << (seg-1), signed
+_c = np.arange(256)
+_u = (~_c) & 0xFF
+_MULAW = (
+    ((((_u & 0x0F) << 3) + 0x84) << ((_u >> 4) & 7)) - 0x84
+) * np.where(_u & 0x80, -1, 1)
+_a = _c ^ 0x55
+_t = ((_a & 0x0F) << 4) + 8
+_seg = (_a >> 4) & 7
+_ALAW = np.where(_seg, (_t + 0x100) << np.maximum(_seg - 1, 0), _t) * np.where(
+    _a & 0x80, 1, -1
+)
+del _c, _u, _a, _t, _seg
+
+
+def _g711_wav(b: bytes) -> tuple[int, np.ndarray] | None:
+    """Manual RIFF walk for G.711 mu-law (fmt 7) / A-law (fmt 6) WAVs —
+    stdlib `wave` refuses them. Returns None for other format codes."""
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack_from("<I", b, i + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None or fmt[0] not in (6, 7):
+        return None
+    code, nch, rate = fmt[0], fmt[1], fmt[2]
+    lut = _MULAW if code == 7 else _ALAW
+    x = lut[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return (rate, x)
+
+
 def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, mono float64 samples in [-1, 1]) of a PCM WAV
-    payload via stdlib `wave`. Raises NotImplementedError for
-    non-wav/compressed audio (the stub boundary)."""
+    payload via stdlib `wave`, or a G.711 mu-law/A-law WAV via the
+    expansion tables above. Raises NotImplementedError for other
+    encodings (ADPCM, mp3-in-RIFF, ... — the stub boundary)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
             "audio decode for this format requires codec libs not present "
-            "in this container (stdlib path covers PCM wav)"
+            "in this container (stdlib path covers PCM/G.711 wav)"
         )
     try:
         with wave.open(io.BytesIO(b)) as f:
@@ -442,10 +485,13 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
             width = f.getsampwidth()
             raw = f.readframes(f.getnframes())
     except wave.Error as ex:
-        # a compressed RIFF/WAVE payload (mu-law, ADPCM...) passes the
-        # RIFF sniff but fails wave.open; re-raise at the DECLARED stub
+        # stdlib wave refuses compressed RIFF/WAVE payloads: G.711
+        # expands here; anything else re-raises at the DECLARED stub
         # boundary — a bare wave.Error would be swallowed by feature
         # extractors' generic fallback and silently become zeros
+        g711 = _g711_wav(b)
+        if g711 is not None:
+            return g711
         raise NotImplementedError(
             f"audio decode for this wav encoding needs codec libs not"
             f" present in this container (stdlib wave: {ex})"

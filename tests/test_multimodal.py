@@ -370,6 +370,57 @@ def test_wav_roundtrip_and_features():
         decode_wav(b"ID3\x03mp3-ish bytes")
 
 
+def _g711_wav_bytes(codes: bytes, fmt_code: int, nch: int = 1, rate: int = 8000) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_code, nch, rate, rate * nch, nch, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(codes)) + codes
+    if len(codes) % 2:
+        chunks += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_g711_mulaw_alaw_decode():
+    """G.711 mu-law (fmt 7) / A-law (fmt 6) WAVs decode via the
+    expansion tables; stdlib audioop (present through 3.12) is the
+    independent all-256-codes oracle, with published endpoint values
+    pinned directly so the test still bites where audioop is gone."""
+    from ember_spark.functions.codecs import _ALAW, _MULAW
+
+    # published endpoints of the canonical tables
+    assert _MULAW[0x80] == 32124 and _MULAW[0x00] == -32124
+    assert _MULAW[0xFF] == 0 and _MULAW[0x7F] == 0
+    assert _ALAW[0xD5] == 8 and _ALAW[0x55] == -8  # A-law has no true 0
+    assert _ALAW[0xAA] == 32256 and _ALAW[0x2A] == -32256
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        audioop = None
+    codes = bytes(range(256))
+    if audioop is not None:
+        assert np.array_equal(
+            _MULAW, np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2")
+        )
+        assert np.array_equal(
+            _ALAW, np.frombuffer(audioop.alaw2lin(codes, 2), "<i2")
+        )
+    for fmt_code, lut in ((7, _MULAW), (6, _ALAW)):
+        rate, x = decode_wav(_g711_wav_bytes(codes, fmt_code, rate=6000))
+        assert rate == 6000
+        assert np.array_equal(x, lut.astype(np.float64) / 32768.0)
+    # stereo G.711 mixes down like the PCM path
+    stereo = bytes(v for pair in zip(codes, codes[::-1]) for v in pair)
+    _, xs = decode_wav(_g711_wav_bytes(stereo, 7, nch=2))
+    mono = _MULAW.astype(np.float64) / 32768.0
+    assert np.allclose(xs, (mono + mono[::-1]) / 2.0)
+    # ADPCM (fmt 2) stays the declared boundary
+    with pytest.raises(NotImplementedError):
+        decode_wav(_g711_wav_bytes(codes, 2))
+
+
 # ----------------------------------------------------------- spark surface
 def test_extract_image_features_real_decode(spark):
     """Identical RGB content serialized as ppm and bmp must embed to the
