@@ -318,9 +318,11 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarra
 
 def _gif_gray(b: bytes) -> np.ndarray:
     """Decode the FIRST frame of a GIF87a/89a to float64 gray (mean of
-    the palette RGB, matching the PNG-palette convention). Handles
-    global/local color tables, extensions, sub-blocks, and the 4-pass
-    row interlace."""
+    the palette RGB, matching the PNG-palette convention), composited
+    at its left/top offset onto the logical-screen canvas (background-
+    color filled) so the result's shape always matches
+    sniff_image_meta's screen dims. Handles global/local color tables,
+    extensions, sub-blocks, and the 4-pass row interlace."""
     sw, sh, flags = struct.unpack_from("<HHB", b, 6)
     i = 13
     gct = None
@@ -362,7 +364,15 @@ def _gif_gray(b: bytes) -> np.ndarray:
                 deinter = np.empty_like(rows)
                 deinter[ordering] = rows
                 rows = deinter
-            return pal[rows].astype(np.float64).mean(axis=2)
+            # composite onto the logical screen (a first frame may be
+            # smaller than the screen and carry a left/top offset)
+            canvas = np.zeros((sh, sw, 3), dtype=np.int32)
+            if gct is not None and b[11] < gct.shape[0]:
+                canvas[:] = gct[b[11]].astype(np.int32)  # background color
+            y1, x1 = min(top + h, sh), min(left + w, sw)
+            if top < sh and left < sw:
+                canvas[top:y1, left:x1] = pal[rows[: y1 - top, : x1 - left]]
+            return canvas.astype(np.float64).mean(axis=2)
         elif blk == 0x3B:
             break
         else:
@@ -660,7 +670,11 @@ def make_png(
 
 
 def make_gif(
-    pixels: np.ndarray, interlace: bool = False, with_extension: bool = False
+    pixels: np.ndarray,
+    interlace: bool = False,
+    with_extension: bool = False,
+    offset: tuple[int, int] = (0, 0),
+    screen: tuple[int, int] | None = None,
 ) -> bytes:
     """Serialize an (h, w, 3) uint8 RGB array (<= 256 unique colors) as
     a GIF89a — the test-side generator for real decode coverage. The
@@ -733,12 +747,16 @@ def make_gif(
     if nbits:
         stream.append(acc & 0xFF)
 
+    left, top = offset
+    sw, sh = screen if screen is not None else (left + w, top + h)
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), 0, 0)
     out += padded.tobytes()
     if with_extension:
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", left, top, w, h, 0x40 if interlace else 0
+    )
     out.append(min_code)
     for i in range(0, len(stream), 255):
         chunk = stream[i : i + 255]

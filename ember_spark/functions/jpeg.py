@@ -249,15 +249,30 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
         raise NotImplementedError("jpeg: multi-scan files (baseline is one scan)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-fw // (8 * hmax))
-    mcuy = -(-fh // (8 * vmax))
+    # luma = the scan's first component; collect only its coefficients
+    y_idx = sel[0][0]
+    _, yh_f, yv_f, ytq = comps[y_idx]
+    # comp plane dims at the component's own resolution (pre-padding)
+    yw = -(-fw * yh_f // hmax)
+    yhh = -(-fh * yv_f // vmax)
+    if len(sel) == 1:
+        # a single-component scan is NON-interleaved per ISO 10918-1
+        # A.2.2: the MCU is ONE data unit and blocks walk the
+        # component's own raster (ceil(plane_dim/8), no MCU-multiple
+        # padding) regardless of its sampling factors
+        mcux = -(-yw // 8)
+        mcuy = -(-yhh // 8)
+        yh = yv = 1
+        scan_factors = {sel[0][0]: (1, 1)}
+    else:
+        mcux = -(-fw // (8 * hmax))
+        mcuy = -(-fh // (8 * vmax))
+        yh, yv = yh_f, yv_f
+        scan_factors = {ci: (comps[ci][1], comps[ci][2]) for ci, _, _ in sel}
     chunks = _entropy_chunks(b, data_start)
     br = _BitReader(chunks[0])
     chunk_i = 0
     preds = [0] * len(comps)
-    # luma = the scan's first component; collect only its coefficients
-    y_idx = sel[0][0]
-    _, yh, yv, ytq = comps[y_idx]
     yblocks = np.zeros((mcuy * yv, mcux * yh, 64), dtype=np.int32)
     done = 0
     for my in range(mcuy):
@@ -269,7 +284,7 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
                 br = _BitReader(chunks[chunk_i])
                 preds = [0] * len(comps)
             for ci, dc_id, ac_id in sel:
-                _, chf, cvf, _tq = comps[ci]
+                chf, cvf = scan_factors[ci]
                 try:
                     dc_tbl = htables[(0, dc_id)]
                     ac_tbl = htables[(1, ac_id)]
@@ -292,12 +307,12 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
         spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
     )
     plane = np.clip(plane, 0.0, 255.0)
-    # luma plane dims before padding; upsample if luma is not full-res
-    yw = -(-fw * yh // hmax)
-    yhh = -(-fh * yv // vmax)
+    # crop MCU padding to the plane dims; upsample if luma subsampled
     plane = plane[:yhh, :yw]
-    if yh != hmax or yv != vmax:
-        plane = np.repeat(np.repeat(plane, vmax // yv, 0), hmax // yh, 1)[:fh, :fw]
+    if yh_f != hmax or yv_f != vmax:
+        plane = np.repeat(np.repeat(plane, vmax // yv_f, 0), hmax // yh_f, 1)[
+            :fh, :fw
+        ]
     return plane
 
 
@@ -422,7 +437,13 @@ def make_jpeg(
     mcuy = -(-h // (8 * vmax))
     step = max(int(quality) - 1, 0) // 2
     uv = np.arange(8)
-    qramp = (1 + (uv[None, :] + uv[:, None]) * step).astype(np.int32)
+    # baseline DQT entries are 8-bit: clamp so the table used for
+    # quantization IS the table written to the stream (an unclamped
+    # ramp above 255 would silently wrap in the uint8 emit and desync
+    # encoder and decoder)
+    qramp = np.minimum(
+        1 + (uv[None, :] + uv[:, None]) * step, 255
+    ).astype(np.int32)
     qzz = qramp.reshape(-1)[_ZIGZAG]  # zigzag order, as DQT stores it
 
     # quantized zigzag coefficient blocks per component

@@ -95,20 +95,12 @@ def image_feature_extractor(
                 continue
             raw = bytes(b)
             v = None
-            # 1) stdlib/numpy decode: ppm/pgm/bmp/png/baseline-jpeg
-            try:
-                g = decode_image_gray(raw)
-                v = block_mean_resize(g, side).ravel()[:dim]
-                v = np.pad(v, (0, dim - len(v)))
-                v = v - v.mean()
-            except NotImplementedError:
-                pass
-            except Exception:
-                out.append([0.0] * dim)
-                continue
-            # 2) PIL opt-in covers the remaining formats (and is the
-            #    fast path for jpeg)
-            if v is None and use_pil:
+            # 1) with the use_pil opt-in, PIL decodes FIRST: it is the
+            #    libjpeg-speed path the user explicitly asked for, and
+            #    keeps use_pil=True embeddings identical to releases
+            #    that predate the stdlib jpeg/png decoders (PIL resize
+            #    vs block_mean_resize differ numerically)
+            if use_pil:
                 try:
                     img = Image.open(io.BytesIO(raw)).convert("L")
                     v = np.asarray(
@@ -117,10 +109,29 @@ def image_feature_extractor(
                     v = np.pad(v, (0, dim - len(v)))
                     v = v - v.mean()
                 except Exception:
+                    v = None  # fall through to the stdlib decoders
+            pil_failed = use_pil and v is None
+            # 2) stdlib/numpy decode: ppm/pgm/bmp/png/baseline-jpeg/gif
+            if v is None:
+                try:
+                    g = decode_image_gray(raw)
+                    v = block_mean_resize(g, side).ravel()[:dim]
+                    v = np.pad(v, (0, dim - len(v)))
+                    v = v - v.mean()
+                except NotImplementedError:
+                    pass
+                except Exception:
                     out.append([0.0] * dim)
                     continue
             # 3) declared stub boundary for codec-requiring formats
             if v is None:
+                if pil_failed:
+                    # PIL (the opt-in authority) rejected the payload
+                    # and no stdlib path covers it: a decode FAILURE,
+                    # not a stub format — same zeros as other corrupt
+                    # payloads (pre-round-5 behavior)
+                    out.append([0.0] * dim)
+                    continue
                 if allow_fake:
                     h = hashlib.blake2b(raw, digest_size=dim).digest()
                     v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)

@@ -305,6 +305,63 @@ def test_jpeg_restart_intervals_and_dispatch():
     assert sniff_image_meta(with_rst) == (33, 40, "jpeg")
 
 
+def test_jpeg_single_component_scan_is_non_interleaved():
+    """A single-component scan is non-interleaved per ISO 10918-1
+    A.2.2: blocks walk ceil(dim/8) raster order with NO MCU-multiple
+    padding, whatever the SOF sampling factors say. A gray JPEG's
+    entropy stream is identical for factors 1x1 and 2x2, so patching
+    the SOF sampling byte must not change the decode (it used to raise
+    'truncated entropy-coded stream' or scramble blocks)."""
+    from ember_spark.functions.jpeg import decode_jpeg_gray, make_jpeg
+
+    rng = np.random.RandomState(21)
+    for shape in [(16, 24), (16, 32), (9, 13)]:
+        g = rng.randint(0, 256, shape, np.uint8)
+        b = make_jpeg(g, quality=1)
+        sof = b.find(b"\xff\xc0")
+        hv_at = sof + 11  # marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1)
+        assert b[hv_at] == 0x11
+        patched = b[:hv_at] + b"\x22" + b[hv_at + 1 :]
+        assert np.array_equal(decode_jpeg_gray(patched), decode_jpeg_gray(b)), shape
+
+
+def test_jpeg_dqt_entries_clamped_to_8bit():
+    """Baseline DQT entries are 8-bit; the quality ramp must clamp at
+    255 so the table quantizing the coefficients IS the table written
+    to the stream (an unclamped ramp silently wrapped in the uint8
+    emit and reconstructed high frequencies ~24x too small)."""
+    from ember_spark.functions.jpeg import decode_jpeg_gray, make_jpeg
+
+    grad = np.clip(
+        np.add.outer(np.arange(24) * 6, np.arange(24) * 4), 0, 255
+    ).astype(np.uint8)
+    d = decode_jpeg_gray(make_jpeg(grad, quality=40))
+    assert np.sqrt(np.mean((d - grad) ** 2)) < 20.0
+
+
+def test_gif_frame_offset_composites_onto_logical_screen():
+    """A first frame smaller than the logical screen, with a left/top
+    offset, decodes onto a background-filled canvas whose shape matches
+    sniff_image_meta's screen dims (they used to disagree)."""
+    from ember_spark.functions.codecs import make_gif
+
+    rng = np.random.RandomState(31)
+    pal = rng.randint(0, 256, (8, 3), np.uint8)
+    frame = pal[rng.randint(0, 8, (4, 6))]
+    b = make_gif(frame, offset=(3, 2), screen=(10, 9))
+    assert sniff_image_meta(b) == (10, 9, "gif")
+    g = decode_image_gray(b)
+    assert g.shape == (9, 10)
+    # background = the encoded GIF's palette entry 0 (the encoder
+    # palette is np.unique order, not the test's pal order)
+    flat = frame.reshape(-1, 3)
+    enc_pal = np.unique(flat.view([("", np.uint8)] * 3)).view(np.uint8).reshape(-1, 3)
+    bg = enc_pal[0].astype(np.float64).mean()
+    want = np.full((9, 10), bg)
+    want[2:6, 3:9] = frame.astype(np.float64).mean(axis=2)
+    assert np.array_equal(g, want)
+
+
 def test_jpeg_progressive_and_truncation_boundaries():
     """Progressive (SOF2) stays the declared NotImplementedError
     boundary; a truncated entropy stream is corrupt data
