@@ -436,6 +436,57 @@ def block_mean_resize(arr: np.ndarray, side: int) -> np.ndarray:
     return up.reshape(side, 4, side, 4).mean(axis=(1, 3))
 
 
+# ------------------------------------------------------------ video decode
+def parse_avi_mjpeg(b: bytes) -> tuple[float, list[bytes]]:
+    """(fps, [jpeg frame bytes, ...]) of an MJPEG AVI container — a
+    pure RIFF chunk walk, no codec library. Each returned frame is a
+    standalone JPEG that `decode_jpeg_gray` (or PIL) decodes. Raises
+    NotImplementedError for non-AVI payloads and for AVI video streams
+    whose handler is not MJPG (a compressed codec needs libs this
+    container does not have); raises ValueError for a structurally
+    broken AVI."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "video decode for this format requires codec libs not present "
+            "in this container (stdlib path covers MJPEG AVI)"
+        )
+    fps = 0.0
+    frames: list[bytes] = []
+    handler_ok = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal fps, handler_ok
+        i = start
+        while i + 8 <= end:
+            cid = b[i : i + 4]
+            (clen,) = struct.unpack_from("<I", b, i + 4)
+            body = i + 8
+            if cid == b"LIST":
+                walk(body + 4, body + clen)  # skip the list type fourcc
+            elif cid == b"avih" and clen >= 4:
+                (us_per_frame,) = struct.unpack_from("<I", b, body)
+                fps = 1e6 / us_per_frame if us_per_frame else 0.0
+            elif cid == b"strh" and clen >= 8:
+                if b[body : body + 4] == b"vids":
+                    handler_ok = b[body + 4 : body + 8].lower() in (
+                        b"mjpg",
+                        b"\x00\x00\x00\x00",
+                    )
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(b[body : body + clen])
+            i = body + clen + (clen & 1)  # chunks are word-aligned
+
+    walk(12, min(struct.unpack_from("<I", b, 4)[0] + 8, len(b)))
+    if handler_ok is False:
+        raise NotImplementedError(
+            "AVI video stream uses a compressed codec handler; stdlib "
+            "path covers MJPG only"
+        )
+    if not frames:
+        raise ValueError("avi: no video frames found")
+    return (fps, frames)
+
+
 # ------------------------------------------------------------ audio decode
 # G.711 expansion tables, computed once from the canonical formulas:
 # mu-law  x = ((mantissa<<3) + 0x84) << exponent, minus bias, signed
@@ -764,6 +815,39 @@ def make_gif(
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def make_avi_mjpeg(frames: list[bytes], fps: float = 25.0) -> bytes:
+    """Serialize JPEG frames as a minimal spec-shaped MJPEG AVI (hdrl
+    with avih/strh/strf, movi with 00dc chunks, idx1) — the test-side
+    generator for real container-parse coverage."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    us = int(round(1e6 / fps)) if fps else 0
+    avih = struct.pack("<14I", us, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, int(round(fps)), 0, len(frames), 0, 0, -1)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, 0, 0, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    payload = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
 def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

@@ -33,7 +33,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, FloatType
+from pyspark.sql.types import ArrayType, BinaryType, FloatType
 
 IMAGE_META_SCHEMA = "width int, height int, format string"
 
@@ -79,75 +79,81 @@ def image_feature_extractor(
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _extract(content: pd.Series) -> pd.Series:
-        from ember_spark.functions.codecs import block_mean_resize, decode_image_gray
-
-        if use_pil:
-            # opt-in captured in the closure: a worker lacking PIL
-            # raises here and fails the stage — uniform behavior, never
-            # a per-worker branch
-            import io
-
-            from PIL import Image
+        pil_image = _require_pil() if use_pil else None
         out = []
         for b in content:
             if b is None:
                 out.append([0.0] * dim)
                 continue
-            raw = bytes(b)
-            v = None
-            # 1) with the use_pil opt-in, PIL decodes FIRST: it is the
-            #    libjpeg-speed path the user explicitly asked for, and
-            #    keeps use_pil=True embeddings identical to releases
-            #    that predate the stdlib jpeg/png decoders (PIL resize
-            #    vs block_mean_resize differ numerically)
-            if use_pil:
-                try:
-                    img = Image.open(io.BytesIO(raw)).convert("L")
-                    v = np.asarray(
-                        img.resize((side, side)), dtype=np.float64
-                    ).ravel()[:dim]
-                    v = np.pad(v, (0, dim - len(v)))
-                    v = v - v.mean()
-                except Exception:
-                    v = None  # fall through to the stdlib decoders
-            pil_failed = use_pil and v is None
-            # 2) stdlib/numpy decode: ppm/pgm/bmp/png/baseline-jpeg/gif
-            if v is None:
-                try:
-                    g = decode_image_gray(raw)
-                    v = block_mean_resize(g, side).ravel()[:dim]
-                    v = np.pad(v, (0, dim - len(v)))
-                    v = v - v.mean()
-                except NotImplementedError:
-                    pass
-                except Exception:
-                    out.append([0.0] * dim)
-                    continue
-            # 3) declared stub boundary for codec-requiring formats
-            if v is None:
-                if pil_failed:
-                    # PIL (the opt-in authority) rejected the payload
-                    # and no stdlib path covers it: a decode FAILURE,
-                    # not a stub format — same zeros as other corrupt
-                    # payloads (pre-round-5 behavior)
-                    out.append([0.0] * dim)
-                    continue
-                if allow_fake:
-                    h = hashlib.blake2b(raw, digest_size=dim).digest()
-                    v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
-                    v = v / 255.0 * 2 - 1
-                else:
-                    raise NotImplementedError(
-                        "image decode for this format requires codec libs "
-                        "(PIL) not present in this container; ppm/pgm/bmp "
-                        "decode natively — pass allow_fake=True for the "
-                        "plumbing-test path on other formats"
-                    )
-            n = np.linalg.norm(v)
-            out.append([float(x) for x in (v / n if n else v)])
+            out.append(_blob_feature(bytes(b), dim, side, allow_fake, pil_image))
         return pd.Series(out)
 
     return _extract
+
+
+def _require_pil():
+    # opt-in resolved once per batch: a worker lacking PIL raises here
+    # and fails the stage — uniform behavior, never a per-worker branch
+    from PIL import Image
+
+    return Image
+
+
+def _blob_feature(
+    raw: bytes, dim: int, side: int, allow_fake: bool, pil_image
+) -> list[float]:
+    """One payload -> normalized feature list (the shared kernel of the
+    image UDF and the video frame-pooling UDF)."""
+    from ember_spark.functions.codecs import block_mean_resize, decode_image_gray
+
+    v = None
+    # 1) with the use_pil opt-in, PIL decodes FIRST: it is the
+    #    libjpeg-speed path the user explicitly asked for, and keeps
+    #    use_pil=True embeddings identical to releases that predate the
+    #    stdlib jpeg/png decoders (PIL resize vs block_mean_resize
+    #    differ numerically)
+    if pil_image is not None:
+        try:
+            import io
+
+            img = pil_image.open(io.BytesIO(raw)).convert("L")
+            v = np.asarray(img.resize((side, side)), dtype=np.float64).ravel()[:dim]
+            v = np.pad(v, (0, dim - len(v)))
+            v = v - v.mean()
+        except Exception:
+            v = None  # fall through to the stdlib decoders
+    pil_failed = pil_image is not None and v is None
+    # 2) stdlib/numpy decode: ppm/pgm/bmp/png/baseline-jpeg/gif
+    if v is None:
+        try:
+            g = decode_image_gray(raw)
+            v = block_mean_resize(g, side).ravel()[:dim]
+            v = np.pad(v, (0, dim - len(v)))
+            v = v - v.mean()
+        except NotImplementedError:
+            pass
+        except Exception:
+            return [0.0] * dim
+    # 3) declared stub boundary for codec-requiring formats
+    if v is None:
+        if pil_failed:
+            # PIL (the opt-in authority) rejected the payload and no
+            # stdlib path covers it: a decode FAILURE, not a stub
+            # format — same zeros as other corrupt payloads
+            return [0.0] * dim
+        if allow_fake:
+            h = hashlib.blake2b(raw, digest_size=dim).digest()
+            v = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
+            v = v / 255.0 * 2 - 1
+        else:
+            raise NotImplementedError(
+                "image decode for this format requires codec libs "
+                "(PIL) not present in this container; ppm/pgm/bmp "
+                "decode natively — pass allow_fake=True for the "
+                "plumbing-test path on other formats"
+            )
+    n = np.linalg.norm(v)
+    return [float(x) for x in (v / n if n else v)]
 
 
 def image_meta_udf():
@@ -224,6 +230,71 @@ def extract_audio_features(
         df = df.repartition(partitions)
     fx = audio_feature_extractor(dim=dim, allow_fake=allow_fake)
     return df.withColumn(out_col, fx(F.col(content_col)))
+
+
+def video_frames_udf():
+    """Arrow-batched container split: binary MJPEG-AVI column ->
+    array<binary> of standalone JPEG frames (codecs.parse_avi_mjpeg, a
+    pure RIFF walk). NULL/unparseable payloads yield NULL so a crawled
+    corpus with junk rows keeps flowing; the per-frame decode cost is
+    NOT paid here — frames stay opaque bytes for the JVM-side
+    `sample_frames` to thin BEFORE any pixel decode."""
+
+    @F.pandas_udf(ArrayType(BinaryType()))
+    def _split(content: pd.Series) -> pd.Series:
+        from ember_spark.functions.codecs import parse_avi_mjpeg
+
+        out = []
+        for b in content:
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(parse_avi_mjpeg(bytes(b))[1])
+            except (NotImplementedError, ValueError):
+                out.append(None)
+        return pd.Series(out)
+
+    return _split
+
+
+def extract_video_features(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "video_features",
+    dim: int = 32,
+    every_k: int = 2,
+    use_pil: bool = False,
+) -> DataFrame:
+    """Video feature dataflow, Spark-first and row-local: ONE Python
+    pass splits the AVI container into frames, the JVM thins to every
+    k-th frame (sample_frames — sampled-out frame bytes never re-enter
+    Python), and a second Arrow pass decodes the kept frames and
+    mean-pools their image features per video. No explode/groupBy/
+    join: the pooling is per row, so no shuffle, no row-id to keep
+    consistent across branches, and every other column rides along
+    untouched. Rows whose container fails to parse get NULL."""
+    side = max(int(round(dim ** 0.5)), 1)
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _pool(frames: pd.Series) -> pd.Series:
+        pil_image = _require_pil() if use_pil else None
+        out = []
+        for fl in frames:
+            if fl is None or len(fl) == 0:
+                out.append(None)
+                continue
+            feats = np.array(
+                [
+                    _blob_feature(bytes(f), dim, side, False, pil_image)
+                    for f in fl
+                ]
+            )
+            out.append([float(x) for x in feats.mean(axis=0)])
+        return pd.Series(out)
+
+    sampled = sample_frames(video_frames_udf()(F.col(content_col)), every_k)
+    return df.withColumn(out_col, _pool(sampled))
 
 
 def sample_frames(frames: Column | str, every_k: int) -> Column:

@@ -478,7 +478,69 @@ def test_wav_g711_mulaw_alaw_decode():
         decode_wav(_g711_wav_bytes(codes, 2))
 
 
+def test_avi_mjpeg_container_roundtrip():
+    """The RIFF walk recovers the exact frame bytes and fps; non-MJPG
+    handlers are the declared boundary; a frameless AVI is corrupt."""
+    from ember_spark.functions.codecs import make_avi_mjpeg, parse_avi_mjpeg
+    from ember_spark.functions.jpeg import make_jpeg
+
+    frames = [
+        make_jpeg(np.full((8, 8), 40 * i + 20, np.uint8), quality=1)
+        for i in range(5)
+    ]
+    avi = make_avi_mjpeg(frames, fps=12.0)
+    fps, out = parse_avi_mjpeg(avi)
+    assert abs(fps - 12.0) < 0.01
+    assert out == frames
+    with pytest.raises(NotImplementedError):
+        parse_avi_mjpeg(avi.replace(b"vidsMJPG", b"vidsH264"))
+    with pytest.raises(NotImplementedError):
+        parse_avi_mjpeg(b"\x00\x01mp4-ish bytes" * 4)
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
+
+
 # ----------------------------------------------------------- spark surface
+def test_extract_video_features_full_dataflow(spark):
+    """MJPEG-AVI through the whole Spark dataflow: one Python pass
+    splits the container, the JVM keeps every k-th frame, each kept
+    frame embeds through the real jpeg decode, a groupBy mean pools
+    per video. The pooled vector must equal the hand-computed mean of
+    the kept frames' image features — and a junk payload pools NULL."""
+    from ember_spark.functions.codecs import make_avi_mjpeg
+    from ember_spark.functions.jpeg import make_jpeg
+    from ember_spark.operators.multimodal import extract_video_features
+
+    rng = np.random.RandomState(13)
+    frames = [
+        make_jpeg(rng.randint(0, 256, (16, 16), np.uint8), quality=1)
+        for _ in range(6)
+    ]
+    rows = [
+        (0, bytearray(make_avi_mjpeg(frames, fps=10.0))),
+        (1, bytearray(b"not a container")),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {
+        r["id"]: r["video_features"]
+        for r in extract_video_features(df, dim=8, every_k=2).collect()
+    }
+    # expected: frames 0, 2, 4 through the image extractor, averaged
+    sub = spark.createDataFrame(
+        [(i, bytearray(f)) for i, f in enumerate(frames[::2])],
+        "id long, content binary",
+    )
+    feats = np.stack(
+        [
+            np.array(r["img_features"])
+            for r in extract_image_features(sub, dim=8).collect()
+        ]
+    )
+    assert np.allclose(np.array(got[0]), feats.mean(axis=0), atol=1e-6)
+    assert got[1] is None and got[2] is None
+
+
 def test_extract_image_features_real_decode(spark):
     """Identical RGB content serialized as ppm and bmp must embed to the
     SAME feature vector through the full Spark path — proof the decode
