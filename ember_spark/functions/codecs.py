@@ -316,13 +316,13 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarra
     return out
 
 
-def _gif_gray(b: bytes) -> np.ndarray:
-    """Decode the FIRST frame of a GIF87a/89a to float64 gray (mean of
-    the palette RGB, matching the PNG-palette convention), composited
-    at its left/top offset onto the logical-screen canvas (background-
-    color filled) so the result's shape always matches
-    sniff_image_meta's screen dims. Handles global/local color tables,
-    extensions, sub-blocks, and the 4-pass row interlace."""
+def _gif_iter_frames(b: bytes):
+    """Yield (delay_centiseconds, (sh, sw, 3) uint8 canvas) per frame
+    of a GIF87a/89a, composited per the spec's canvas model: frames
+    paint at their left/top offset, graphic-control transparency skips
+    pixels of the transparent index, and disposal methods restore the
+    background rect (2) or the previous canvas (3) before the next
+    frame."""
     sw, sh, flags = struct.unpack_from("<HHB", b, 6)
     i = 13
     gct = None
@@ -330,13 +330,26 @@ def _gif_gray(b: bytes) -> np.ndarray:
         n = 2 << (flags & 7)
         gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
         i += n * 3
+    background = np.zeros(3, dtype=np.uint8)
+    if gct is not None and b[11] < gct.shape[0]:
+        background = gct[b[11]]
+    canvas = np.broadcast_to(background, (sh, sw, 3)).copy()
+    delay, transparent, disposal = 0, None, 0
+    saw_frame = False
     while i < len(b):
         blk = b[i]
         if blk == 0x21:  # extension: label + sub-blocks
-            i += 2
-            while i < len(b) and b[i]:
-                i += 1 + b[i]
-            i += 1
+            label = b[i + 1] if i + 1 < len(b) else 0
+            j = i + 2
+            first = b[j + 1 : j + 1 + b[j]] if j < len(b) and b[j] else b""
+            if label == 0xF9 and len(first) >= 4:  # graphic control
+                packed, lo, hi, tidx = first[0], first[1], first[2], first[3]
+                delay = lo | (hi << 8)
+                transparent = tidx if packed & 1 else None
+                disposal = (packed >> 2) & 7
+            while j < len(b) and b[j]:
+                j += 1 + b[j]
+            i = j + 1
         elif blk == 0x2C:  # image descriptor
             left, top, w, h, iflags = struct.unpack_from("<HHHHB", b, i + 1)
             i += 10
@@ -353,6 +366,7 @@ def _gif_gray(b: bytes) -> np.ndarray:
             while i < len(b) and b[i]:
                 parts.append(b[i + 1 : i + 1 + b[i]])
                 i += 1 + b[i]
+            i += 1  # block terminator
             idx = _gif_lzw_decode(b"".join(parts), min_code, w * h)
             if idx.max(initial=0) >= pal.shape[0]:
                 raise ValueError("gif: palette index out of range")
@@ -364,19 +378,54 @@ def _gif_gray(b: bytes) -> np.ndarray:
                 deinter = np.empty_like(rows)
                 deinter[ordering] = rows
                 rows = deinter
-            # composite onto the logical screen (a first frame may be
-            # smaller than the screen and carry a left/top offset)
-            canvas = np.zeros((sh, sw, 3), dtype=np.int32)
-            if gct is not None and b[11] < gct.shape[0]:
-                canvas[:] = gct[b[11]].astype(np.int32)  # background color
             y1, x1 = min(top + h, sh), min(left + w, sw)
+            shown = canvas.copy()
             if top < sh and left < sw:
-                canvas[top:y1, left:x1] = pal[rows[: y1 - top, : x1 - left]]
-            return canvas.astype(np.float64).mean(axis=2)
+                clip = rows[: y1 - top, : x1 - left]
+                rgb = pal[clip]
+                if transparent is not None:
+                    keep = clip != transparent
+                    region = shown[top:y1, left:x1]
+                    region[keep] = rgb[keep]
+                else:
+                    shown[top:y1, left:x1] = rgb
+            saw_frame = True
+            yield (delay, shown)
+            if disposal == 2:  # restore background in the frame rect
+                canvas = shown.copy()
+                canvas[top:y1, left:x1] = background
+            elif disposal != 3:  # 0/1: frame persists; 3: keep previous
+                canvas = shown
+            delay, transparent, disposal = 0, None, 0
         elif blk == 0x3B:
             break
         else:
             raise ValueError(f"gif: unexpected block 0x{blk:02x}")
+    if not saw_frame:
+        raise ValueError("gif: no image frame found")
+
+
+def parse_gif_frames(b: bytes) -> tuple[float, list[np.ndarray]]:
+    """(fps, [composited (sh, sw, 3) uint8 frames]) of an animated (or
+    single-frame) GIF; fps from the mean graphic-control delay, 0.0
+    when no delay is present."""
+    delays = []
+    frames = []
+    for delay, canvas in _gif_iter_frames(b):
+        delays.append(delay)
+        frames.append(canvas)
+    mean_cs = float(np.mean(delays)) if delays else 0.0
+    return (100.0 / mean_cs if mean_cs else 0.0, frames)
+
+
+def _gif_gray(b: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to float64 gray (mean of
+    the palette RGB, matching the PNG-palette convention), composited
+    at its left/top offset onto the logical-screen canvas (background-
+    color filled) so the result's shape always matches
+    sniff_image_meta's screen dims."""
+    for _delay, canvas in _gif_iter_frames(b):
+        return canvas.astype(np.float64).mean(axis=2)
     raise ValueError("gif: no image frame found")
 
 
@@ -720,48 +769,28 @@ def make_png(
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
-def make_gif(
-    pixels: np.ndarray,
-    interlace: bool = False,
-    with_extension: bool = False,
-    offset: tuple[int, int] = (0, 0),
-    screen: tuple[int, int] | None = None,
-) -> bytes:
-    """Serialize an (h, w, 3) uint8 RGB array (<= 256 unique colors) as
-    a GIF89a — the test-side generator for real decode coverage. The
-    LZW compressor is the spec algorithm (variable code width, clear at
-    dictionary capacity), independent of the decoder's table walk.
-    interlace=True writes rows in the 4-pass order; with_extension=True
-    prepends a graphic-control extension block the decoder must skip."""
-    h, w = pixels.shape[:2]
-    flat = pixels.reshape(-1, 3).astype(np.uint8)
+def _gif_palette(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """(palette (n,3) uint8, flat indices, depth) for RGB rows."""
     colors, inv = np.unique(flat.view([("", np.uint8)] * 3), return_inverse=True)
     pal = colors.view(np.uint8).reshape(-1, 3)
     if pal.shape[0] > 256:
         raise ValueError(f"gif limited to 256 colors, got {pal.shape[0]}")
-    idx = inv.reshape(h, w).astype(np.uint8)
-    if interlace:
-        order = np.concatenate(
-            [np.arange(o, h, s) for o, s in ((0, 8), (4, 8), (2, 4), (1, 2))]
-        )
-        raster = idx[order].reshape(-1)
-    else:
-        raster = idx.reshape(-1)
-    # palette padded to a power of two >= 2, as the format requires
     depth = max((pal.shape[0] - 1).bit_length(), 1)
-    padded = np.zeros((1 << depth, 3), np.uint8)
-    padded[: pal.shape[0]] = pal
-    min_code = max(depth, 2)
+    return pal, inv.astype(np.uint8), depth
+
+
+def _gif_lzw_encode(raster: bytes, min_code: int) -> bytes:
+    """Spec GIF-LZW compressor (variable code width, clear at
+    dictionary capacity) — independent of the decoder's table walk."""
     clear = 1 << min_code
     eoi = clear + 1
-
     out_codes: list[tuple[int, int]] = []  # (code, width)
     width = min_code + 1
     table = {bytes([i]): i for i in range(clear)}
     next_code = eoi + 1
     out_codes.append((clear, width))
     cur = b""
-    for byte in raster.tobytes():
+    for byte in raster:
         nxt = cur + bytes([byte])
         if nxt in table:
             cur = nxt
@@ -797,7 +826,52 @@ def make_gif(
             nbits -= 8
     if nbits:
         stream.append(acc & 0xFF)
+    return bytes(stream)
 
+
+def _gif_image_block(
+    idx: np.ndarray, min_code: int, left: int, top: int, interlace: bool
+) -> bytes:
+    """Image descriptor + LZW-coded sub-blocks for an index raster."""
+    h, w = idx.shape
+    if interlace:
+        order = np.concatenate(
+            [np.arange(o, h, s) for o, s in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        raster = idx[order].reshape(-1)
+    else:
+        raster = idx.reshape(-1)
+    stream = _gif_lzw_encode(raster.tobytes(), min_code)
+    out = bytearray(
+        b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0x40 if interlace else 0)
+    )
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def make_gif(
+    pixels: np.ndarray,
+    interlace: bool = False,
+    with_extension: bool = False,
+    offset: tuple[int, int] = (0, 0),
+    screen: tuple[int, int] | None = None,
+) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array (<= 256 unique colors) as
+    a GIF89a — the test-side generator for real decode coverage.
+    interlace=True writes rows in the 4-pass order; with_extension=True
+    prepends a no-op graphic-control extension the decoder must skip;
+    offset/screen place the frame on a larger logical screen."""
+    h, w = pixels.shape[:2]
+    pal, inv, depth = _gif_palette(pixels.reshape(-1, 3).astype(np.uint8))
+    idx = inv.reshape(h, w)
+    padded = np.zeros((1 << depth, 3), np.uint8)
+    padded[: pal.shape[0]] = pal
+    min_code = max(depth, 2)
     left, top = offset
     sw, sh = screen if screen is not None else (left + w, top + h)
     out = bytearray(b"GIF89a")
@@ -805,15 +879,67 @@ def make_gif(
     out += padded.tobytes()
     if with_extension:
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
-    out += b"\x2c" + struct.pack(
-        "<HHHHB", left, top, w, h, 0x40 if interlace else 0
+    out += _gif_image_block(idx, min_code, left, top, interlace)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def make_gif_anim(
+    frames: list[np.ndarray],
+    delays_cs: list[int],
+    offsets: list[tuple[int, int]] | None = None,
+    disposals: list[int] | None = None,
+    transparent_colors: list[tuple[int, int, int] | None] | None = None,
+    screen: tuple[int, int] | None = None,
+) -> bytes:
+    """Serialize (h_i, w_i, 3) uint8 frames as an animated GIF89a with
+    one shared global palette (union of all frames' colors, <= 256),
+    per-frame graphic-control extensions (delay, disposal method,
+    optional transparent color), and per-frame offsets — the test-side
+    generator for the animated decode/compositing coverage."""
+    n = len(frames)
+    offsets = offsets or [(0, 0)] * n
+    disposals = disposals or [0] * n
+    transparent_colors = transparent_colors or [None] * n
+    all_rgb = np.concatenate(
+        [f.reshape(-1, 3).astype(np.uint8) for f in frames]
+        + [
+            np.array([c], np.uint8)
+            for c in transparent_colors
+            if c is not None
+        ]
     )
-    out.append(min_code)
-    for i in range(0, len(stream), 255):
-        chunk = stream[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+    pal, _, depth = _gif_palette(all_rgb)
+    lut = {tuple(c): i for i, c in enumerate(pal)}
+    padded = np.zeros((1 << depth, 3), np.uint8)
+    padded[: pal.shape[0]] = pal
+    min_code = max(depth, 2)
+    if screen is None:
+        sw = max(o[0] + f.shape[1] for o, f in zip(offsets, frames))
+        sh = max(o[1] + f.shape[0] for o, f in zip(offsets, frames))
+    else:
+        sw, sh = screen
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), 0, 0)
+    out += padded.tobytes()
+    for f, delay, (left, top), disp, tc in zip(
+        frames, delays_cs, offsets, disposals, transparent_colors
+    ):
+        h, w = f.shape[:2]
+        idx = np.array(
+            [lut[tuple(px)] for px in f.reshape(-1, 3).astype(np.uint8)],
+            np.uint8,
+        ).reshape(h, w)
+        packed = (disp & 7) << 2
+        tidx = 0
+        if tc is not None:
+            packed |= 1
+            tidx = lut[tc]
+        out += b"\x21\xf9\x04" + bytes(
+            [packed, delay & 0xFF, delay >> 8, tidx]
+        ) + b"\x00"
+        out += _gif_image_block(idx, min_code, left, top, False)
+    out += b"\x3b"
     return bytes(out)
 
 

@@ -233,24 +233,37 @@ def extract_audio_features(
 
 
 def video_frames_udf():
-    """Arrow-batched container split: binary MJPEG-AVI column ->
-    array<binary> of standalone JPEG frames (codecs.parse_avi_mjpeg, a
-    pure RIFF walk). NULL/unparseable payloads yield NULL so a crawled
-    corpus with junk rows keeps flowing; the per-frame decode cost is
-    NOT paid here — frames stay opaque bytes for the JVM-side
-    `sample_frames` to thin BEFORE any pixel decode."""
+    """Arrow-batched container split: binary video column ->
+    array<binary> of standalone decodable frames. MJPEG AVI yields its
+    JPEG frames verbatim (codecs.parse_avi_mjpeg, a pure RIFF walk);
+    animated GIF yields its disposal/transparency-composited canvases
+    re-serialized as raw P6 PPM (header + pixels — negligible encode
+    cost, and downstream stays format-agnostic). NULL/unparseable
+    payloads yield NULL so a crawled corpus with junk rows keeps
+    flowing. For AVI the per-frame pixel decode is NOT paid here —
+    frames stay opaque bytes for the JVM-side `sample_frames` to thin
+    BEFORE any decode (GIF must decode to composite, LZW being
+    inherently sequential across frames)."""
 
     @F.pandas_udf(ArrayType(BinaryType()))
     def _split(content: pd.Series) -> pd.Series:
-        from ember_spark.functions.codecs import parse_avi_mjpeg
+        from ember_spark.functions.codecs import (
+            make_ppm,
+            parse_avi_mjpeg,
+            parse_gif_frames,
+        )
 
         out = []
         for b in content:
             if b is None:
                 out.append(None)
                 continue
+            raw = bytes(b)
             try:
-                out.append(parse_avi_mjpeg(bytes(b))[1])
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    out.append([make_ppm(f) for f in parse_gif_frames(raw)[1]])
+                else:
+                    out.append(parse_avi_mjpeg(raw)[1])
             except (NotImplementedError, ValueError):
                 out.append(None)
         return pd.Series(out)

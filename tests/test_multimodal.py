@@ -478,6 +478,70 @@ def test_wav_g711_mulaw_alaw_decode():
         decode_wav(_g711_wav_bytes(codes, 2))
 
 
+def test_gif_animation_compositing():
+    """Animated GIF frames composite per the spec canvas model: frame
+    offsets paint over the prior canvas, transparent-index pixels leave
+    it visible, disposal 2 restores background in the frame rect, and
+    disposal 3 restores the previous canvas."""
+    from ember_spark.functions.codecs import make_gif_anim, parse_gif_frames
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 255, (12, 3), np.uint8)
+    f0 = pal[rng.randint(0, 12, (8, 10))]
+    f1 = pal[rng.randint(0, 12, (4, 5))]
+
+    fps, frames = parse_gif_frames(make_gif_anim([f0, f0[::-1]], [5, 10]))
+    assert fps == pytest.approx(100 / 7.5)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], f0) and np.array_equal(frames[1], f0[::-1])
+
+    # offset patch persists (disposal 0)
+    _, frames = parse_gif_frames(
+        make_gif_anim([f0, f1], [4, 4], offsets=[(0, 0), (2, 3)])
+    )
+    want = f0.copy()
+    want[3:7, 2:7] = f1
+    assert np.array_equal(frames[1], want)
+
+    # transparency: transparent-color pixels leave the canvas visible
+    tc = (255, 255, 255)
+    patch = np.tile(np.array(tc, np.uint8), (4, 5, 1))
+    patch[1:3, 1:4] = pal[0]
+    _, frames = parse_gif_frames(
+        make_gif_anim(
+            [f0, patch],
+            [4, 4],
+            offsets=[(0, 0), (2, 3)],
+            transparent_colors=[None, tc],
+        )
+    )
+    want = f0.copy()
+    want[4:6, 3:6] = pal[0]
+    assert np.array_equal(frames[1], want)
+
+    # disposal 2: the NEXT frame sees background restored in the rect;
+    # disposal 3: the next frame sees the canvas from BEFORE this one
+    # pin colors so the encoder's palette[0] (the background: the
+    # lexicographically smallest color) is black, not solid_b's color
+    solid_a = np.tile(np.array([0, 0, 0], np.uint8), (8, 10, 1))
+    solid_b = np.tile(np.array([200, 50, 50], np.uint8), (2, 2, 1))
+    _, frames = parse_gif_frames(
+        make_gif_anim(
+            [solid_a, solid_b, solid_b],
+            [4, 4, 4],
+            offsets=[(0, 0), (1, 1), (5, 5)],
+            disposals=[0, 2, 3],
+        )
+    )
+    # frame 1 painted solid_b at (1,1); disposal 2 then restores the
+    # background color there, so frame 2's canvas shows background in
+    # that rect, not solid_b
+    bg = frames[2][1:3, 1:3]
+    assert not np.array_equal(bg, solid_b)
+    assert (bg == bg[0, 0]).all()  # a flat background fill
+    assert np.array_equal(frames[2][5:7, 5:7], solid_b)  # its own paint
+
+
 def test_avi_mjpeg_container_roundtrip():
     """The RIFF walk recovers the exact frame bytes and fps; non-MJPG
     handlers are the declared boundary; a frameless AVI is corrupt."""
@@ -539,6 +603,34 @@ def test_extract_video_features_full_dataflow(spark):
     )
     assert np.allclose(np.array(got[0]), feats.mean(axis=0), atol=1e-6)
     assert got[1] is None and got[2] is None
+
+
+def test_extract_video_features_from_animated_gif(spark):
+    """An animated GIF rides the same video dataflow: the splitter
+    re-serializes composited canvases as PPM frames, so the pooled
+    vector equals the image features of those canvases averaged."""
+    from ember_spark.functions.codecs import make_gif_anim, make_ppm, parse_gif_frames
+    from ember_spark.operators.multimodal import extract_video_features
+
+    rng = np.random.RandomState(17)
+    pal = rng.randint(0, 256, (10, 3), np.uint8)
+    gif = make_gif_anim(
+        [pal[rng.randint(0, 10, (12, 12))] for _ in range(4)], [5] * 4
+    )
+    df = spark.createDataFrame([(0, bytearray(gif))], "id long, content binary")
+    got = extract_video_features(df, dim=8, every_k=2).collect()[0]["video_features"]
+    canvases = parse_gif_frames(gif)[1][::2]
+    sub = spark.createDataFrame(
+        [(i, bytearray(make_ppm(c))) for i, c in enumerate(canvases)],
+        "id long, content binary",
+    )
+    feats = np.stack(
+        [
+            np.array(r["img_features"])
+            for r in extract_image_features(sub, dim=8).collect()
+        ]
+    )
+    assert np.allclose(np.array(got), feats.mean(axis=0), atol=1e-6)
 
 
 def test_extract_image_features_real_decode(spark):
