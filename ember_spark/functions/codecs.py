@@ -516,12 +516,17 @@ def parse_avi_mjpeg(b: bytes) -> tuple[float, list[bytes]]:
                 (us_per_frame,) = struct.unpack_from("<I", b, body)
                 fps = 1e6 / us_per_frame if us_per_frame else 0.0
             elif cid == b"strh" and clen >= 8:
-                if b[body : body + 4] == b"vids":
+                # gate on the FIRST video stream's handler (stream 00,
+                # whose '00dc'/'00db' chunks are the ones collected): a
+                # later-stream strh must not overwrite the verdict
+                if handler_ok is None and b[body : body + 4] == b"vids":
                     handler_ok = b[body + 4 : body + 8].lower() in (
                         b"mjpg",
                         b"\x00\x00\x00\x00",
                     )
-            elif cid[2:4] in (b"dc", b"db"):
+            elif cid[:2] == b"00" and cid[2:4] in (b"dc", b"db"):
+                # stream 00 only: a multi-stream AVI's other streams
+                # ('01dc', ...) may carry a different codec entirely
                 frames.append(b[body : body + clen])
             i = body + clen + (clen & 1)  # chunks are word-aligned
 

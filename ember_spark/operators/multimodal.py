@@ -35,6 +35,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BinaryType, FloatType
 
+# module-level so UDF hot loops don't pay a per-row import (the module
+# re-imports once per worker process when the closure unpickles)
+from ember_spark.functions.codecs import block_mean_resize, decode_image_gray
+
 IMAGE_META_SCHEMA = "width int, height int, format string"
 
 
@@ -104,8 +108,6 @@ def _blob_feature(
 ) -> list[float]:
     """One payload -> normalized feature list (the shared kernel of the
     image UDF and the video frame-pooling UDF)."""
-    from ember_spark.functions.codecs import block_mean_resize, decode_image_gray
-
     v = None
     # 1) with the use_pil opt-in, PIL decodes FIRST: it is the
     #    libjpeg-speed path the user explicitly asked for, and keeps
@@ -232,18 +234,21 @@ def extract_audio_features(
     return df.withColumn(out_col, fx(F.col(content_col)))
 
 
-def video_frames_udf():
+def video_frames_udf(every_k: int = 1):
     """Arrow-batched container split: binary video column ->
-    array<binary> of standalone decodable frames. MJPEG AVI yields its
-    JPEG frames verbatim (codecs.parse_avi_mjpeg, a pure RIFF walk);
-    animated GIF yields its disposal/transparency-composited canvases
-    re-serialized as raw P6 PPM (header + pixels — negligible encode
-    cost, and downstream stays format-agnostic). NULL/unparseable
-    payloads yield NULL so a crawled corpus with junk rows keeps
-    flowing. For AVI the per-frame pixel decode is NOT paid here —
-    frames stay opaque bytes for the JVM-side `sample_frames` to thin
-    BEFORE any decode (GIF must decode to composite, LZW being
-    inherently sequential across frames)."""
+    array<binary> of standalone decodable frames, thinned to every
+    k-th frame AT THE SPLIT so dropped frames are never serialized or
+    shipped through Arrow (for a decoded-in-Python GIF canvas that is
+    the whole cost; for AVI it is list slicing on opaque bytes —
+    identical selection to `sample_frames`, applied where the data
+    already lives). MJPEG AVI yields its JPEG frames verbatim
+    (codecs.parse_avi_mjpeg, a pure RIFF walk — pixel decode is NOT
+    paid here); animated GIF yields its disposal/transparency-
+    composited canvases re-serialized as raw P6 PPM (header + pixels,
+    and downstream stays format-agnostic). ANY unparseable payload —
+    wrong magic, declared codec boundary, truncated/corrupt structure
+    (struct.error, IndexError, ...) — yields NULL so a crawled corpus
+    with junk rows keeps flowing."""
 
     @F.pandas_udf(ArrayType(BinaryType()))
     def _split(content: pd.Series) -> pd.Series:
@@ -261,10 +266,11 @@ def video_frames_udf():
             raw = bytes(b)
             try:
                 if raw[:6] in (b"GIF87a", b"GIF89a"):
-                    out.append([make_ppm(f) for f in parse_gif_frames(raw)[1]])
+                    canvases = parse_gif_frames(raw)[1][::every_k]
+                    out.append([make_ppm(f) for f in canvases])
                 else:
-                    out.append(parse_avi_mjpeg(raw)[1])
-            except (NotImplementedError, ValueError):
+                    out.append(parse_avi_mjpeg(raw)[1][::every_k])
+            except Exception:
                 out.append(None)
         return pd.Series(out)
 
@@ -280,13 +286,16 @@ def extract_video_features(
     use_pil: bool = False,
 ) -> DataFrame:
     """Video feature dataflow, Spark-first and row-local: ONE Python
-    pass splits the AVI container into frames, the JVM thins to every
-    k-th frame (sample_frames — sampled-out frame bytes never re-enter
-    Python), and a second Arrow pass decodes the kept frames and
-    mean-pools their image features per video. No explode/groupBy/
-    join: the pooling is per row, so no shuffle, no row-id to keep
-    consistent across branches, and every other column rides along
-    untouched. Rows whose container fails to parse get NULL."""
+    pass splits the container and thins to every k-th frame (dropped
+    frames never serialize into the Arrow stream), and a second Arrow
+    pass decodes the kept frames and mean-pools their image features
+    per video. No explode/groupBy/join: the pooling is per row, so no
+    shuffle, no row-id to keep consistent across branches, and every
+    other column rides along untouched. Rows whose container fails to
+    parse get NULL; a kept frame that cannot decode (declared codec
+    boundary — e.g. one progressive-JPEG frame in an otherwise-fine
+    MJPEG stream) is skipped from the pool rather than failing the
+    stage, and a video with NO decodable frames pools NULL."""
     side = max(int(round(dim ** 0.5)), 1)
 
     @F.pandas_udf(ArrayType(FloatType()))
@@ -297,17 +306,23 @@ def extract_video_features(
             if fl is None or len(fl) == 0:
                 out.append(None)
                 continue
-            feats = np.array(
-                [
-                    _blob_feature(bytes(f), dim, side, False, pil_image)
-                    for f in fl
-                ]
-            )
-            out.append([float(x) for x in feats.mean(axis=0)])
+            feats = []
+            for f in fl:
+                try:
+                    feats.append(
+                        _blob_feature(bytes(f), dim, side, False, pil_image)
+                    )
+                except NotImplementedError:
+                    continue  # undecodable frame: skip, don't fail
+            if not feats:
+                out.append(None)
+                continue
+            out.append([float(x) for x in np.array(feats).mean(axis=0)])
         return pd.Series(out)
 
-    sampled = sample_frames(video_frames_udf()(F.col(content_col)), every_k)
-    return df.withColumn(out_col, _pool(sampled))
+    return df.withColumn(
+        out_col, _pool(video_frames_udf(every_k)(F.col(content_col)))
+    )
 
 
 def sample_frames(frames: Column | str, every_k: int) -> Column:

@@ -605,6 +605,59 @@ def test_extract_video_features_full_dataflow(spark):
     assert got[1] is None and got[2] is None
 
 
+def test_video_dataflow_survives_junk_and_undecodable_frames(spark):
+    """The NULL-for-junk contract holds for payloads that raise beyond
+    ValueError (truncated GIF -> struct.error, corrupt AVI LIST ->
+    struct.error), and a parsed container whose frames cannot decode
+    (uncompressed-DIB '00db' chunks under a null handler) pools NULL
+    instead of failing the stage; foreign-stream '01dc' chunks are
+    not collected as frames."""
+    from ember_spark.functions.codecs import make_avi_mjpeg, parse_avi_mjpeg
+    from ember_spark.functions.jpeg import make_jpeg
+    from ember_spark.operators.multimodal import extract_video_features
+
+    rng = np.random.RandomState(41)
+    frames = [make_jpeg(rng.randint(0, 256, (8, 8), np.uint8), quality=1)]
+    good = make_avi_mjpeg(frames, fps=5.0)
+    # a null-handler AVI whose frames are raw DIB pixel bytes parses
+    # fine (parse_avi_mjpeg accepts a null handler) but no frame can
+    # decode — the pool must skip them all and yield NULL
+    dib = make_avi_mjpeg([b"\x12\x34" * 40], fps=5.0).replace(
+        b"MJPG", b"\x00\x00\x00\x00"
+    )
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(b"GIF89a")),  # truncated: struct.error inside
+        (2, bytearray(b"RIFF\xff\xff\xff\x7fAVI LIST\xff\xff\xff\x7f")),
+        (3, bytearray(dib)),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {
+        r["id"]: r["video_features"]
+        for r in extract_video_features(df, dim=8, every_k=1).collect()
+    }
+    assert got[0] is not None
+    assert got[1] is None and got[2] is None and got[3] is None
+    # multi-stream: frames of stream 01 are not collected. Insert a
+    # foreign '01dc' chunk right after the movi fourcc and grow the
+    # LIST and RIFF sizes accordingly.
+    extra = b"01dc" + struct.pack("<I", 6) + b"foobar"
+    movi_at = good.find(b"movi")
+    lst_len_at = movi_at - 4
+    (old_len,) = struct.unpack_from("<I", good, lst_len_at)
+    patched = (
+        good[:lst_len_at]
+        + struct.pack("<I", old_len + len(extra))
+        + good[lst_len_at + 4 : movi_at + 4]
+        + extra
+        + good[movi_at + 4 :]
+    )
+    (rl,) = struct.unpack_from("<I", patched, 4)
+    patched = patched[:4] + struct.pack("<I", rl + len(extra)) + patched[8:]
+    _, out = parse_avi_mjpeg(patched)
+    assert out == frames  # the foreign '01dc' chunk is ignored
+
+
 def test_extract_video_features_from_animated_gif(spark):
     """An animated GIF rides the same video dataflow: the splitter
     re-serializes composited canvases as PPM frames, so the pooled
