@@ -49,6 +49,18 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
     return df.select(*columns) if columns else df
 
 
+def read_orc(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """ORC scan with optional source-level pruning — the other
+    columnar lake format Spark ships a native vectorized reader for
+    (no extra jar, unlike Avro/Iceberg). Same pushdown/pruning
+    behavior as the parquet path: predicates and the column list reach
+    the scan node."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

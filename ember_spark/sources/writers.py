@@ -43,6 +43,20 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink, mirroring write_parquet (Spark-native, zlib-compressed
+    by default; no extra jar)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (reference op S5, the parquet->CSV round-trip for
     DeepMatcher, `scripts/dm.py:262-266`). Not on the hot path."""

@@ -8,6 +8,7 @@ from ember_spark.sources.readers import (
     read_binary_files,
     read_csv_multichar_delim,
     read_jsonl,
+    read_orc,
 )
 from ember_spark.streaming.dedup_stream import (
     streaming_exact_dedup,
@@ -33,6 +34,29 @@ def test_jsonl_with_schema_and_drop(spark, tmp_path):
     df = read_jsonl(spark, str(p), schema="id long, title string, nested struct<a:int>", drop_columns=["nested"])
     assert df.columns == ["id", "title"]
     assert df.count() == 2
+
+
+def test_orc_roundtrip_with_pruning_and_pushdown(spark, tmp_path):
+    """ORC round-trips through Spark's native reader/writer, and both
+    the column list and the predicate reach the scan node (same
+    source-level pruning contract the parquet path asserts)."""
+    from ember_spark.sources.writers import write_orc
+
+    p = str(tmp_path / "t.orc")
+    src = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    write_orc(src, p, partition_by=["k"])
+    df = read_orc(spark, p, columns=["id", "v"]).filter(F.col("id") < 10)
+    assert df.columns == ["id", "v"]
+    assert df.count() == 10
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan and "v:string" in plan.replace(" ", "")
+    assert "id:bigint" in plan.replace(" ", "")
+    # partition column k pruned away from the read schema entirely
+    assert "k:int" not in plan.replace(" ", "")
 
 
 def test_binary_files_listing(spark, tmp_path):
