@@ -72,10 +72,14 @@ def entry(spark: SparkSession) -> DataFrame:
         use_cascade=False,
     )
     pipe = ERPipeline(spark, cfg)
-    prepared = pipe.prepare(docs)
+    # persist the Arrow-UDF stages: cluster()'s eager CC bootstrap plus
+    # the sizes-join's two references to `entities` would otherwise
+    # re-run the whole prepare->block->score lineage several times
+    # (same pattern as q_er_pipeline_entities and ERPipeline.run)
+    prepared = pipe.prepare(docs).persist()
     pairs = pipe.block(prepared)
-    scored = pipe.score(pairs, prepared)
-    entities = pipe.cluster(scored, prepared)
+    scored = pipe.score(pairs, prepared).persist()
+    entities = pipe.cluster(scored, prepared).persist()
     sizes = entities.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))
     return entities.join(sizes, "entity_id").select("url", "entity_id", "entity_size")
 
@@ -375,8 +379,12 @@ def q_x4_tokenize_stats(spark, sf):  # X4: tokenize + array stats
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.element_at(toks, 1).alias("first_token"),
-        F.element_at(toks, -1).alias("last_token"),
+        # try_element_at, not element_at: under Spark 4's default ANSI
+        # mode element_at ABORTS the scan for a document tokenizing to
+        # an empty array, while the DuckDB oracle's {toks}[1] returns
+        # NULL — try_element_at matches the oracle's NULL semantics
+        F.try_element_at(toks, F.lit(1)).alias("first_token"),
+        F.try_element_at(toks, F.lit(-1)).alias("last_token"),
     )
 
 
@@ -969,7 +977,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT split_part(line, '@;@', 1)::INT AS id,
                    split_part(line, '@;@', 2) AS title,
                    split_part(line, '@;@', 4) AS cate_name,
-                   split_part(line, '@;@', 5)::INT AS cluster_id
+                   -- rejoin fields 5.. : the Spark reader splits with
+                   -- limit=5, so delimiter chars inside the LAST field
+                   -- survive; split_part(.., 5) would truncate them
+                   array_to_string(list_slice(string_split(line, '@;@'), 5, 100000),
+                                   '@;@')::INT AS cluster_id
             FROM read_csv('{fx}/s1_ali_sample.txt', delim=chr(1),
                           header=false, quote='', columns={{'line': 'VARCHAR'}})
         """,

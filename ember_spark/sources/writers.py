@@ -28,6 +28,20 @@ def iceberg_available(spark: SparkSession) -> bool:
                 return True
     except Exception:
         pass
+    try:
+        # catalogs registered AFTER startup (spark.conf.set) live in the
+        # session's RuntimeConfig, not the SparkContext conf — checking
+        # only the latter made the gate miss them and silently divert
+        # writes to a parquet directory named like the table
+        entries = spark._jsparkSession.conf().getAll()
+        jit = entries.iterator()
+        while jit.hasNext():
+            kv = jit.next()
+            k, v = kv._1(), str(kv._2())
+            if k.startswith("spark.sql.catalog.") and "iceberg" in v.lower():
+                return True
+    except Exception:
+        pass
     return False
 
 
@@ -67,15 +81,23 @@ def write_table(df: DataFrame, name_or_path: str, mode: str = "overwrite") -> No
     """Iceberg `writeTo(...)` when available, else a parquet directory
     with identical layout (the driver oracle reads parquet either way).
 
-    `mode` is honored on BOTH paths: 'append' appends (createOrReplace
-    unconditionally would silently DESTROY existing table data on the
-    Iceberg path while the parquet path appended — the worst kind of
-    environment-dependent divergence), 'overwrite' replaces."""
+    `mode` is honored on BOTH paths — all four DataFrameWriter modes,
+    not just append/overwrite: mapping 'error'/'ignore' to
+    createOrReplace would silently DESTROY existing table data on the
+    Iceberg path while the parquet path protected it — the worst kind
+    of environment-dependent divergence."""
     spark = df.sparkSession
     if iceberg_available(spark) and "/" not in name_or_path:
         if mode == "append":
             df.writeTo(name_or_path).append()
-        else:
+        elif mode == "overwrite":
             df.writeTo(name_or_path).createOrReplace()
+        elif mode in ("error", "errorifexists"):
+            df.writeTo(name_or_path).create()  # raises if the table exists
+        elif mode == "ignore":
+            if not spark.catalog.tableExists(name_or_path):
+                df.writeTo(name_or_path).create()
+        else:
+            raise ValueError(f"write_table: unknown mode {mode!r}")
     else:
         write_parquet(df, name_or_path, mode=mode)

@@ -94,8 +94,8 @@ def main() -> None:
     block = (
         "<!-- codecs:begin -->\n"
         "### Multimodal decode throughput (pure-Python codecs through the Spark Arrow path)\n\n"
-        f"{N_IMG:,} synthetic {SIDE}x{SIDE} images per format (and {N_VID} "
-        f"{FRAMES}-frame MJPEG-AVI videos, every_k=2) through "
+        f"{N_IMG:,} synthetic {SIDE}x{SIDE} png/jpeg images, {N_IMG // 4:,} "
+        f"gifs, and {N_VID} {FRAMES}-frame MJPEG-AVI videos (every_k=2) through "
         "`extract_image_features` / `extract_video_features` on this "
         "session's local profile, best of 2:\n\n"
         "| payload | decode throughput |\n|---|---|\n"

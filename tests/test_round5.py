@@ -289,3 +289,48 @@ def test_csv_multichar_delim_tolerates_short_rows(spark, tmp_path):
     assert ("a", "b", "c") in rows
     assert ("short", None, None) in rows  # truncated line null-pads
     assert ("", "only-second", "") in rows
+
+
+def test_x4_tokenize_stats_survives_empty_documents(spark, tmp_path):
+    """A document tokenizing to zero tokens must yield NULL first/last
+    token (the DuckDB oracle's [1]/[-1] semantics), not abort the scan
+    — under Spark 4's default ANSI mode a plain element_at raises
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT for the empty array."""
+    import __spark_entry__ as e
+
+    p = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "", "en"), (3, "   ", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(f"{p}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in e.queries()["x4_tokenize_stats"](spark, p).collect()
+    }
+    assert rows[1]["first_token"] == "hello"
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["first_token"] is None and rows[2]["last_token"] is None
+    assert rows[3]["first_token"] is None
+
+
+def test_write_table_parquet_fallback_honors_all_modes(spark, tmp_path):
+    """Without an Iceberg catalog, write_table falls back to parquet
+    and must honor error/ignore semantics — mode='error' protects an
+    existing table, mode='ignore' leaves it untouched."""
+    import pytest
+
+    from ember_spark.sources.writers import write_table
+
+    p = str(tmp_path / "tbl")
+    df1 = spark.range(3).toDF("id")
+    df2 = spark.range(10, 14).toDF("id")
+    write_table(df1, p, mode="error")
+    assert spark.read.parquet(p).count() == 3
+    with pytest.raises(Exception):
+        write_table(df2, p, mode="error")
+    write_table(df2, p, mode="ignore")
+    assert spark.read.parquet(p).count() == 3  # untouched
+    write_table(df2, p, mode="append")
+    assert spark.read.parquet(p).count() == 7
+    write_table(df2, p, mode="overwrite")
+    assert spark.read.parquet(p).count() == 4
