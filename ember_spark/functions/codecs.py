@@ -6,15 +6,16 @@ library at all, so for them the decode step is REAL, not stubbed:
 
 - PPM/PGM (P5/P6 binary): header + raw samples — decoded by hand.
 - BMP (uncompressed 24/32-bit bottom-up): fixed header layout.
-- PNG (8/16-bit gray/RGB/GA/RGBA + 8-bit palette, sequential or
-  Adam7-interlaced): stdlib zlib + the five per-row filters
-  (None/Sub/Up/Average/Paeth) unfiltered by hand; only sub-byte
-  depths (1/2/4) remain stubbed.
+- PNG (COMPLETE: 1/2/4/8/16-bit gray, 8/16-bit RGB/GA/RGBA,
+  1/2/4/8-bit palette, sequential or Adam7-interlaced — every
+  spec-valid baseline combination): stdlib zlib + the five per-row
+  filters (None/Sub/Up/Average/Paeth) unfiltered by hand.
 - JPEG (baseline sequential, any sampling, restart intervals): the
   pure-numpy Huffman + IDCT decoder in `functions/jpeg.py`; only
   progressive/arithmetic/12-bit streams remain stubbed.
-- GIF (87a/89a first frame): hand-rolled LZW (variable-width codes,
-  clear/EOI, KwKwK), global/local palettes, 4-pass interlace.
+- GIF (87a/89a, animated): hand-rolled LZW (variable-width codes,
+  clear/EOI, KwKwK), global/local palettes, 4-pass interlace, frame
+  compositing (offsets, transparency, disposal methods).
 - WAV: PCM via stdlib `wave`; G.711 mu-law/A-law via the canonical
   expansion tables (audioop-verified); ADPCM etc. remain stubbed.
 
@@ -186,6 +187,11 @@ def _png_unfilter(
     return out, pos
 
 
+def _png_row_stride(w: int, ch: int, depth: int) -> int:
+    """Bytes per scanline (sub-byte rows pad to a byte boundary)."""
+    return (w * ch * depth + 7) // 8
+
+
 def _png_rows_to_samples(
     rows: np.ndarray, w: int, ch: int, depth: int
 ) -> np.ndarray:
@@ -193,8 +199,14 @@ def _png_rows_to_samples(
     h = rows.shape[0]
     if depth == 8:
         return rows.reshape(h, w, ch)
-    # 16-bit: big-endian byte pairs per sample
-    return ((rows[:, 0::2] << 8) | rows[:, 1::2]).reshape(h, w, ch)
+    if depth == 16:  # big-endian byte pairs per sample
+        return ((rows[:, 0::2] << 8) | rows[:, 1::2]).reshape(h, w, ch)
+    # sub-byte: unpack MSB-first bits, regroup into depth-bit samples,
+    # drop the row-padding bits past w*ch samples
+    bits = np.unpackbits(rows.astype(np.uint8), axis=1)[:, : w * ch * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(h, w * ch, depth) * weights).sum(axis=2)
+    return vals.astype(np.int32).reshape(h, w, ch)
 
 
 def _png_gray(b: bytes) -> np.ndarray:
@@ -202,24 +214,28 @@ def _png_gray(b: bytes) -> np.ndarray:
     the IDAT stream, undo the five per-row filters, map palette
     indices through PLTE, de-interlace Adam7, average color channels.
     Covers 8- and 16-bit gray / RGB / gray+alpha / RGBA (color types
-    0/2/4/6) plus 8-bit palette (type 3), sequential or Adam7. Only
-    sub-byte depths (1/2/4) remain the declared NotImplementedError
-    boundary."""
+    0/2/4/6) at depths 8/16, gray additionally at 1/2/4, palette
+    (type 3) at 1/2/4/8, sequential or Adam7 — every spec-valid
+    baseline combination; NotImplementedError only for spec-invalid
+    ones."""
     w, h, depth, color_type = struct.unpack_from(">IIBB", b, 16)
     interlace = b[28]
-    if (
-        depth not in (8, 16)
-        or interlace not in (0, 1)
-        or color_type not in (0, 2, 3, 4, 6)
-        or (color_type == 3 and depth != 8)
-    ):
+    # spec-valid combinations: sub-byte depths exist only for gray (0)
+    # and palette (3); 16-bit exists for everything except palette
+    valid = (
+        interlace in (0, 1)
+        and (
+            (color_type in (0, 3) and depth in (1, 2, 4, 8))
+            or (color_type in (0, 2, 4, 6) and depth in (8, 16))
+        )
+    )
+    if not valid:
         raise NotImplementedError(
             f"png depth={depth} color_type={color_type} interlace={interlace}: "
-            "stdlib path covers 8/16-bit gray/RGB/GA/RGBA + 8-bit palette, "
-            "sequential or Adam7 (sub-byte depths need a codec lib)"
+            "not a spec-valid baseline combination"
         )
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * depth // 8)  # filter offset: >= 1 byte per spec
     # chunk walk: length(4) type(4) data payload crc(4)
     idat = []
     plte = None
@@ -236,7 +252,7 @@ def _png_gray(b: bytes) -> np.ndarray:
         i += 12 + length
     data = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        rows, _ = _png_unfilter(data, 0, h, w * bpp, bpp)
+        rows, _ = _png_unfilter(data, 0, h, _png_row_stride(w, ch, depth), bpp)
         px = _png_rows_to_samples(rows, w, ch, depth)
     else:  # Adam7: seven independently-filtered sub-images
         px = np.zeros((h, w, ch), dtype=np.int32)
@@ -246,7 +262,9 @@ def _png_gray(b: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no scanlines at all
-            rows, pos = _png_unfilter(data, pos, ph, pw * bpp, bpp)
+            rows, pos = _png_unfilter(
+                data, pos, ph, _png_row_stride(pw, ch, depth), bpp
+            )
             px[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, ch, depth)
     if color_type == 3:
         if plte is None or len(plte) % 3 or not len(plte):
@@ -256,7 +274,7 @@ def _png_gray(b: bytes) -> np.ndarray:
             raise ValueError("png: palette index out of range")
         px = pal[px[:, :, 0]]  # (h, w, 3), already 8-bit scale
         color_type, depth = 2, 8
-    scale = 255.0 / (65535.0 if depth == 16 else 255.0)
+    scale = 255.0 / float((1 << depth) - 1)
     fpx = px.astype(np.float64) * scale
     if color_type in (0, 4):  # gray / gray+alpha: gray channel only
         return fpx[:, :, 0]
@@ -435,8 +453,7 @@ def decode_image_gray(b: bytes) -> np.ndarray:
     ITU-R 601 gray conversion yields for YCbCr input) via the pure-
     numpy baseline decoder in functions/jpeg.py; GIF first frames via
     hand-rolled LZW. Raises NotImplementedError for the remaining
-    declared boundaries (progressive/arithmetic jpeg, sub-byte-depth
-    png)."""
+    declared boundaries (progressive/arithmetic jpeg)."""
     if b[:2] in (b"P5", b"P6"):
         w, h, maxval, off, ch = _ppm_header(b)
         # maxval > 255 means 2 bytes per sample, most significant first
@@ -722,22 +739,27 @@ def make_png(
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if palette:
-        if gray or depth != 8:
+        if gray:
             raise ValueError("palette PNG needs an (h, w, 3) uint8 image")
         flat = pixels.reshape(-1, 3).astype(np.uint8)
         colors, inv = np.unique(
             flat.view([("", np.uint8)] * 3), return_inverse=True
         )
         pal = colors.view(np.uint8).reshape(-1, 3)
-        if pal.shape[0] > 256:
-            raise ValueError(f"palette PNG limited to 256 colors, got {pal.shape[0]}")
+        if pal.shape[0] > (1 << depth):
+            raise ValueError(
+                f"palette PNG at depth {depth} holds {1 << depth} colors, "
+                f"got {pal.shape[0]}"
+            )
         samples = inv.reshape(h, w, 1).astype(np.int32)
         color_type, ch = 3, 1
     else:
         ch = 1 if gray else 3
         color_type = 0 if gray else 2
         samples = pixels.reshape(h, w, ch).astype(np.int32)
-    bpp = ch * (depth // 8)
+        if depth < 8 and samples.max(initial=0) >= (1 << depth):
+            raise ValueError(f"gray samples exceed depth-{depth} range")
+    bpp = max(1, ch * depth // 8)
 
     def pass_bytes(sub: np.ndarray) -> bytearray:
         ph, pw = sub.shape[:2]
@@ -746,6 +768,14 @@ def make_png(
             rows = np.empty((ph, pw * ch * 2), dtype=np.int32)
             rows[:, 0::2] = (arr >> 8) & 0xFF
             rows[:, 1::2] = arr & 0xFF
+        elif depth < 8:  # pack depth-bit samples MSB-first, pad rows
+            bits = ((arr[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(
+                ph, -1
+            )
+            pad = (-bits.shape[1]) % 8
+            if pad:
+                bits = np.pad(bits, ((0, 0), (0, pad)))
+            rows = np.packbits(bits.astype(np.uint8), axis=1).astype(np.int32)
         else:
             rows = arr & 0xFF
         return _png_filter_rows(rows, bpp, filters)

@@ -379,14 +379,43 @@ def test_jpeg_progressive_and_truncation_boundaries():
         decode_jpeg_gray(full[: int(len(full) * 0.6)])
 
 
-def test_png_unsupported_variants_raise_declared_stub():
-    """Sub-byte depths are the remaining declared PNG boundary."""
+def test_png_subbyte_depths_roundtrip():
+    """1/2/4-bit gray and sub-byte palette PNGs decode exactly — bit
+    unpacking, row padding, per-depth scaling, and the bpp=1 filter
+    offset, sequential and Adam7."""
+    rng = np.random.RandomState(37)
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        g = rng.randint(0, maxv + 1, (9, 13)).astype(np.uint8)
+        want = g.astype(np.float64) * 255.0 / maxv
+        for interlace in (0, 1):
+            got = decode_image_gray(
+                make_png(g, filters="mixed", depth=depth, interlace=interlace)
+            )
+            assert np.allclose(got, want), (depth, interlace)
+    # 4-bit palette: indices pack two per byte, map through PLTE
+    pal = rng.randint(0, 256, (16, 3), np.uint8)
+    rgb = pal[rng.randint(0, 16, (7, 11))]
+    got = decode_image_gray(make_png(rgb, filters="mixed", depth=4, palette=True))
+    assert np.allclose(got, rgb.astype(np.float64).mean(axis=2))
+
+
+def test_png_spec_invalid_combinations_raise():
+    """Combinations the PNG spec forbids (16-bit palette, sub-byte
+    RGB, depth 3) stay NotImplementedError, not a wrong decode."""
     px = _pixels(4, 4)
-    for bad_depth in (1, 2, 4):
-        b = bytearray(make_png(px))
-        b[24] = bad_depth
-        with pytest.raises(NotImplementedError):
-            decode_image_gray(bytes(b))
+    b = bytearray(make_png(px, palette=True))
+    b[24] = 16  # palette + 16-bit: invalid
+    with pytest.raises(NotImplementedError):
+        decode_image_gray(bytes(b))
+    b = bytearray(make_png(px))  # RGB
+    b[24] = 4  # RGB + sub-byte: invalid
+    with pytest.raises(NotImplementedError):
+        decode_image_gray(bytes(b))
+    b = bytearray(make_png(px))
+    b[24] = 3  # depth 3 does not exist
+    with pytest.raises(NotImplementedError):
+        decode_image_gray(bytes(b))
 
 
 def test_jpeg_sniff_skips_fill_bytes_and_stops_at_sos():
