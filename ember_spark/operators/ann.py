@@ -52,9 +52,19 @@ def brute_force_topk(
     Ties break by neighbor id ascending (deterministic).
     Self-matches (same id) are excluded.
     """
+    from ember_spark.operators.blocking import ensure_parallelism
+
     qid = query_id_col or id_col
     q = queries.select(F.col(qid).alias("query_id"), F.col(emb_col).alias("q_emb"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    # the per-pair cosine (an interpreted HOF aggregate, Q x N
+    # evaluations) inherits the corpus scan's partitioning; a small
+    # single-file corpus otherwise serializes the whole O(QxN) compute
+    # onto one core (measured 3x the wall at sf0.1). No-op at scale,
+    # where the scan already has >= parallelism partitions (guide §2.5
+    # input-skew: repartition immediately after a narrow read).
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ember_spark.functions.text import normalize_text
 from ember_spark.functions.tokenize import tokenize_ws
+from ember_spark.operators.blocking import ensure_parallelism
 
 #: tiny per-language stopword profiles for the n-gram/stopword heuristic
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -48,13 +49,19 @@ def lang_id_col(text: Column) -> Column:
 
 
 def add_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    return df.withColumn(out_col, lang_id_col(F.col(text_col)))
+    # ensure_parallelism on every textstats op: the per-row work here is
+    # regex/tokenize-heavy codegen that inherits the scan's partitioning
+    # — a small single-file parquet otherwise serializes the whole pass
+    # onto one core (measured 2.4x the wall for quality_features at
+    # sf0.1). No-op at scale where the scan is already wide.
+    return ensure_parallelism(df).withColumn(out_col, lang_id_col(F.col(text_col)))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a
     composite [0,1] quality score (heuristics in the Gopher/C4 family,
     arithmetic only so the DuckDB oracle reproduces it exactly)."""
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     toks = tokenize_ws(text)
     n_chars = F.length(text)
@@ -97,6 +104,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (regex word pieces
     + ceil(chars/4) for long words — a common tokens~chars/4 proxy)."""
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     ws = F.size(tokenize_ws(text))
     # word pieces: alnum runs and single non-space symbols
@@ -115,4 +123,4 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     distinct token set of the normalized text. Identical content ==
     identical fingerprint regardless of token order/duplication."""
     toks = F.array_sort(F.array_distinct(tokenize_ws(normalize_text(F.col(text_col)))))
-    return df.withColumn(out_col, F.md5(F.array_join(toks, " ")))
+    return ensure_parallelism(df).withColumn(out_col, F.md5(F.array_join(toks, " ")))

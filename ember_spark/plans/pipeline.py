@@ -93,12 +93,22 @@ class PipelineConfig:
     # Deterministic (xxhash64 of the record key), so blocking remains
     # reproducible run-to-run and batch/streaming stay consistent.
     hot_token_census_docs: int = 250_000
-    # broadcasting the corpus payload into the pair join looks tempting,
-    # but the broadcast relation build is driver-single-threaded (a
-    # fixed serial cost that swamps small/medium runs) and at web scale
-    # the corpus never fits anyway — default to shuffle joins, which
-    # parallelize with the cluster
-    broadcast_payload: bool = False
+    # payload-attach join strategy for scoring (guide §3.1):
+    #  - None (default): AUTO — broadcast the (column-pruned, slim)
+    #    corpus payload when it counts <= attach_pair_payload's
+    #    broadcast_max_rows (2M), else shuffle joins. Broadcasting
+    #    replaces TWO shuffles of the pair table (the widest table of
+    #    the job) with one build of the slim payload; re-measured in
+    #    round 6 at 107k docs/236k pairs the broadcast attach is ~2x
+    #    the shuffle attach's throughput cold (fewer sort/exchange
+    #    stages to JIT) and never slower warm. The gate is a row COUNT
+    #    of the payload side (one narrow job, trivial when the caller
+    #    persisted the prepared table, as the pipeline does), so at web
+    #    scale (>2M docs) the joins fall back to shuffles — the
+    #    scale-adaptive shape the optimization guide asks for, not a
+    #    local-mode constant.
+    #  - False / True: force shuffle / broadcast unconditionally.
+    broadcast_payload: bool | None = None
     # payload-attach strategy for the scoring join (perf-only — output
     # is identical, so it is excluded from the stage fingerprints):
     #  - "shuffle" (default): attach_pair_payload — sort-merge/broadcast
