@@ -135,7 +135,12 @@ def _entropy_chunks(b: bytes, start: int) -> list[bytes]:
     """Unstuff the entropy-coded data after SOS; split at RST markers.
 
     0xFF00 -> literal 0xFF; 0xFF D0-D7 -> chunk boundary; 0xFF D9 (EOI)
-    or any other marker ends the scan."""
+    or any other marker ends the scan. Consecutive 0xFF bytes before
+    the classifying byte are FILL bytes (ISO 10918-1 B.1.1.2 allows any
+    number of them ahead of a marker, and some encoders' bit padding
+    emits them before RSTn) — skip to the last one instead of treating
+    0xFFFF as end-of-scan, mirroring the fill-byte handling of the main
+    marker loop."""
     chunks: list[bytes] = []
     cur = bytearray()
     i = start
@@ -146,16 +151,19 @@ def _entropy_chunks(b: bytes, start: int) -> list[bytes]:
             cur.append(c)
             i += 1
             continue
-        if i + 1 >= n:
+        j = i + 1
+        while j < n and b[j] == 0xFF:  # fill bytes
+            j += 1
+        if j >= n:
             break
-        m = b[i + 1]
+        m = b[j]
         if m == 0x00:
             cur.append(0xFF)
-            i += 2
+            i = j + 1
         elif 0xD0 <= m <= 0xD7:
             chunks.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 1
         else:  # EOI or a stray marker: scan is over
             break
     chunks.append(bytes(cur))

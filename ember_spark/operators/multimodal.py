@@ -104,16 +104,28 @@ def _require_pil():
 
 
 def _blob_feature(
-    raw: bytes, dim: int, side: int, allow_fake: bool, pil_image
+    raw: bytes, dim: int, side: int, allow_fake: bool, pil_image,
+    strict: bool = False,
 ) -> list[float]:
     """One payload -> normalized feature list (the shared kernel of the
-    image UDF and the video frame-pooling UDF)."""
+    image UDF and the video frame-pooling UDF).
+
+    `strict=True` (the video frame-pooling caller): a payload that FAILS
+    to decode raises instead of returning the zero vector, so the caller
+    can SKIP the frame — a zero vector averaged into a frame pool would
+    silently dilute the video feature toward zero, while the image UDF's
+    per-row contract (corrupt payload -> zeros) stays the default. A
+    frame that legitimately decodes to uniform gray still returns zeros
+    (v - mean == 0) and still pools — only decode FAILURES differ."""
     v = None
     # 1) with the use_pil opt-in, PIL decodes FIRST: it is the
-    #    libjpeg-speed path the user explicitly asked for, and keeps
-    #    use_pil=True embeddings identical to releases that predate the
-    #    stdlib jpeg/png decoders (PIL resize vs block_mean_resize
-    #    differ numerically)
+    #    libjpeg-speed path the user explicitly asked for. NOTE:
+    #    use_pil=True feature vectors CHANGED at the round-5 commit
+    #    that introduced this ordering — releases in between ran the
+    #    stdlib decoder first for the formats it covers (PIL resize vs
+    #    block_mean_resize differ numerically), so use_pil=True corpora
+    #    embedded with those releases must be re-embedded to compare.
+    #    use_pil=False vectors are unaffected.
     if pil_image is not None:
         try:
             import io
@@ -135,6 +147,8 @@ def _blob_feature(
         except NotImplementedError:
             pass
         except Exception:
+            if strict:
+                raise
             return [0.0] * dim
     # 3) declared stub boundary for codec-requiring formats
     if v is None:
@@ -142,6 +156,8 @@ def _blob_feature(
             # PIL (the opt-in authority) rejected the payload and no
             # stdlib path covers it: a decode FAILURE, not a stub
             # format — same zeros as other corrupt payloads
+            if strict:
+                raise ValueError("blob decode failed")
             return [0.0] * dim
         if allow_fake:
             h = hashlib.blake2b(raw, digest_size=dim).digest()
@@ -249,6 +265,10 @@ def video_frames_udf(every_k: int = 1):
     wrong magic, declared codec boundary, truncated/corrupt structure
     (struct.error, IndexError, ...) — yields NULL so a crawled corpus
     with junk rows keeps flowing."""
+    if every_k < 1:
+        # fail the CALLER's configuration error eagerly: every_k=0 would
+        # raise inside the per-row try/except and silently NULL every row
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
 
     @F.pandas_udf(ArrayType(BinaryType()))
     def _split(content: pd.Series) -> pd.Series:
@@ -310,10 +330,16 @@ def extract_video_features(
             for f in fl:
                 try:
                     feats.append(
-                        _blob_feature(bytes(f), dim, side, False, pil_image)
+                        _blob_feature(
+                            bytes(f), dim, side, False, pil_image, strict=True
+                        )
                     )
-                except NotImplementedError:
-                    continue  # undecodable frame: skip, don't fail
+                except Exception:
+                    # undecodable frame — declared codec boundary OR a
+                    # corrupt frame whose magic matched (strict mode
+                    # raises for those instead of returning zeros):
+                    # skip it, don't dilute the pool or fail the stage
+                    continue
             if not feats:
                 out.append(None)
                 continue
