@@ -275,18 +275,28 @@ def connected_components(
     if not assume_distinct:
         e0 = e0.distinct()
     e = persist_iter(e0, 0)
-    prev = _checksum(e)
 
-    if checkpoint_dir is None and prev[0] <= local_threshold:
-        # small-graph fast path (see docstring): the edge count is
-        # already known from the checksum action, which also
-        # materialized `e` — the bounded collect reads cached blocks.
+    pdf = None
+    if checkpoint_dir is None and local_threshold > 0:
+        # small-graph gate as ONE bounded probe job: collect at most
+        # local_threshold+1 edges — a result within the bound IS the
+        # whole edge set (the fast path's input), so the former
+        # checksum-count job + separate toPandas job collapse into one
+        # driver round-trip (the CC call is driver-synchronized, so on
+        # small graphs — every streaming micro-batch — per-job latency
+        # is the dominant cost). An over-bound graph falls through to
+        # the distributed loop having paid one bounded (<= ~16 MB of
+        # longs) transfer, noise against the loop it precedes.
+        pdf = e.limit(local_threshold + 1).toPandas()
+        if len(pdf) > local_threshold:
+            pdf = None
+
+    if pdf is not None:
+        # small-graph fast path (see docstring).
         # Union-by-min + path compression: rooting at the smaller id
         # keeps every root the minimum of its tree, so the final root
         # IS the component's min id — the exact distributed contract.
         from pyspark.sql import types as T
-
-        pdf = e.toPandas()
         # nothing below reads `e` again (the result references only the
         # collected pdf and nodes -> raw), so free its checkpoint blocks
         # now — a long-running stream calls this per micro-batch, and the
@@ -351,6 +361,8 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
+
+    prev = _checksum(e)
 
     # CC is a driver-synchronized loop of small shuffles; with a wide
     # session shuffle width each round pays per-task overhead on near-

@@ -58,6 +58,31 @@ def _warm_python_workers(spark: SparkSession, n: int) -> None:
 
     try:
         spark.range(0, n, 1, n).mapInPandas(_imp, "id long").count()
+        # one generic JVM pass through the operators every real query
+        # uses — shuffle write/read, hash aggregate, window sort,
+        # broadcast join, top-k — so their infrastructure (codegen
+        # pipeline, shuffle writers, window exec, Janino itself) is
+        # C2/JIT-warm before the first timed query rather than inside
+        # it. The generated sources differ per real query, but the
+        # compiler and exec machinery they run on are shared.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        base = spark.range(0, 100_000, 1, n).withColumn(
+            "k", F.pmod(F.col("id"), F.lit(100))
+        )
+        small = spark.range(0, 100).select(F.col("id").alias("k"))
+        w = Window.partitionBy("k").orderBy(F.col("id").desc())
+        (
+            base.join(F.broadcast(small), "k")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 1000)
+            .groupBy("k")
+            .agg(F.sum("rn").alias("s"), F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("s").desc())
+            .limit(10)
+            .count()
+        )
     except Exception:
         # warmup is purely advisory — never fail session construction
         pass
