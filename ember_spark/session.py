@@ -83,6 +83,24 @@ def _warm_python_workers(spark: SparkSession, n: int) -> None:
             .limit(10)
             .count()
         )
+        # and one generic string pass (concat/lower/split/HOF-filter/
+        # explode/agg) — the other operator family every text query
+        # starts with; its interpreted-HOF and UTF8String machinery
+        # otherwise JIT inside the first tokenizing query
+        toks = F.filter(
+            F.split(F.lower(F.concat_ws(" ", F.col("id").cast("string"),
+                                        F.lit("warm up"))), r"\s+"),
+            lambda t: t != "",
+        )
+        (
+            spark.range(0, 20_000, 1, n)
+            .select(F.explode(F.array_distinct(toks)).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc())
+            .limit(5)
+            .count()
+        )
     except Exception:
         # warmup is purely advisory — never fail session construction
         pass
